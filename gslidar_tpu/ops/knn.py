@@ -1,0 +1,62 @@
+"""Nearest-neighbour init distances, replacing simple-knn's distCUDA2.
+
+The reference uses an external CUDA package to compute the mean squared
+distance to the 3 nearest neighbours of every point, which seeds the initial
+gaussian scales (reference: scene/gaussian_model.py:253-254).
+
+TPU-native: chunked brute-force pairwise distances. The [chunk, P] distance
+block is a rank-1-expanded matmul (|a|^2 + |b|^2 - 2 a.b) so the heavy term
+runs on the MXU; top-3 selection via three successive min-reductions (cheaper
+than a full sort at k=3).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def mean_sq_dist_knn3(points: jnp.ndarray, chunk: int = 4096) -> jnp.ndarray:
+    """Mean squared distance to the 3 nearest neighbours (self excluded).
+
+    Args:
+        points: [P, 3] float32.
+    Returns:
+        [P] mean of the 3 smallest squared distances per point.
+    """
+    P = points.shape[0]
+    pad = (-P) % chunk
+    pts = jnp.pad(points, ((0, pad), (0, 0)))
+    sq = jnp.sum(pts * pts, axis=-1)
+
+    def body(carry, idx):
+        block = jax.lax.dynamic_slice_in_dim(pts, idx * chunk, chunk)
+        bsq = jax.lax.dynamic_slice_in_dim(sq, idx * chunk, chunk)
+        d2 = (bsq[:, None] + sq[None, :]
+              - 2.0 * jnp.dot(block, pts.T, preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST))
+        d2 = jnp.maximum(d2, 0.0)
+        # mask self-distance and padded columns
+        rows = idx * chunk + jnp.arange(chunk)
+        cols = jnp.arange(pts.shape[0])
+        self_mask = rows[:, None] == cols[None, :]
+        pad_mask = cols[None, :] >= P
+        d2 = jnp.where(self_mask | pad_mask, jnp.inf, d2)
+        # The matmul expansion loses precision for near pairs in f32, so use
+        # it only to shortlist 8 candidates, then recompute those distances
+        # exactly from coordinate differences.
+        _, idx8 = jax.lax.top_k(-d2, 8)
+        nbrs = pts[idx8]                                   # [chunk, 8, 3]
+        exact = jnp.sum((block[:, None, :] - nbrs) ** 2, axis=-1)
+        bad = (idx8 == rows[:, None]) | (idx8 >= P)
+        exact = jnp.where(bad, jnp.inf, exact)
+        neg3, _ = jax.lax.top_k(-exact, 3)
+        return carry, jnp.mean(-neg3, axis=1)
+
+    n_chunks = pts.shape[0] // chunk
+    _, out = jax.lax.scan(body, None, jnp.arange(n_chunks))
+    out = out.reshape(-1)[:P]
+    return jnp.where(jnp.isfinite(out), out, 0.0)

@@ -1,0 +1,77 @@
+import numpy as np
+import jax.numpy as jnp
+
+from gslidar_tpu.ops.pano import (depth_to_normal, pano_to_lidar, pixel_dirs,
+                                  project_points_to_pano, spherical_from_cam)
+
+VFOV = (-24.9, 2.0)
+HFOV = (-90, 90)
+
+
+def test_project_backproject_roundtrip(rng):
+    """Points -> pano z-buffer -> backproject must land on input rays."""
+    H, W = 66, 515
+    n = 5000
+    theta = rng.uniform(np.pi / 2 - VFOV[1] * np.pi / 180 + 0.01,
+                        np.pi / 2 - VFOV[0] * np.pi / 180 - 0.01, n)
+    phi = rng.uniform(HFOV[0] * np.pi / 180 + 0.01,
+                      HFOV[1] * np.pi / 180 - 0.01, n)
+    r = rng.uniform(2.0, 60.0, n)
+    x = r * np.sin(theta) * np.sin(phi)
+    z = r * np.sin(theta) * np.cos(phi)
+    y = -r * np.cos(theta)
+    pts = np.stack([x, y, z], 1).astype(np.float32)
+    inten = rng.uniform(0, 1, n).astype(np.float32)
+
+    depth, intensity = project_points_to_pano(pts, inten, H, W, VFOV, HFOV)
+    assert depth.shape == (1, H, W)
+    filled = depth > 0
+    assert filled.sum() > 1000
+    # z-buffer keeps min range per pixel
+    assert depth[filled].min() >= r.min() - 1e-3
+
+    back, mask = pano_to_lidar(jnp.asarray(depth), VFOV, HFOV)
+    back = np.asarray(back)[np.asarray(mask)]
+    rb = np.linalg.norm(back, axis=1)
+    assert np.all(rb > 1.0)
+    # every backprojected range equals some pano value
+    assert np.allclose(np.sort(rb), np.sort(depth[filled]), atol=1e-3)
+
+
+def test_zbuffer_keeps_nearest():
+    H, W = 8, 16
+    # two points on the same ray
+    d = np.array([[0.0, -0.2, 1.0], [0.0, -0.4, 2.0]], dtype=np.float32)
+    d[1] *= 2.5  # same direction, farther
+    inten = np.array([0.3, 0.9], dtype=np.float32)
+    depth, intensity = project_points_to_pano(d, inten, H, W, (-30, 30), HFOV)
+    filled = depth > 0
+    assert filled.sum() == 1
+    assert np.isclose(depth[filled][0], np.linalg.norm(d[0]), atol=1e-5)
+    assert np.isclose(intensity[filled][0], 0.3)
+
+
+def test_spherical_matches_reference_formulas(rng):
+    p = rng.normal(size=(100, 3)).astype(np.float32)
+    theta, phi, r = spherical_from_cam(jnp.asarray(p))
+    assert np.allclose(np.asarray(phi), np.arctan2(p[:, 0], p[:, 2]), atol=1e-5)
+    assert np.allclose(np.asarray(theta),
+                       np.arctan2(np.hypot(p[:, 0], p[:, 2]), -p[:, 1]), atol=1e-5)
+    assert np.allclose(np.asarray(r), np.linalg.norm(p, axis=1), atol=1e-5)
+
+
+def test_depth_to_normal_flat_wall():
+    """A constant-z wall must produce normals pointing along -z."""
+    H, W = 32, 64
+    vfov, hfov = (-20, 20), (-30, 30)
+    dirs = np.asarray(pixel_dirs(H, W, vfov, hfov))
+    # range so that z = dirs_z * range = const 10
+    rng_img = (10.0 / dirs[2])[None]
+    n = np.asarray(depth_to_normal(jnp.asarray(rng_img), vfov, hfov))
+    inner = n[:, 8:-8, 8:-8]
+    assert np.all(np.abs(inner[2]) > 0.99)
+
+
+def test_pixel_dirs_unit_norm():
+    d = np.asarray(pixel_dirs(16, 32, VFOV, HFOV))
+    assert np.allclose(np.linalg.norm(d, axis=0), 1.0, atol=1e-6)
