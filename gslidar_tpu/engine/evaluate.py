@@ -1,0 +1,189 @@
+"""Evaluation: stitched 360-degree range maps + metric suite.
+
+Reference: gaussian_renderer/__init__.py:158-227 (render_range_map) and
+train.py:467-563 (complete_eval).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gslidar_tpu.engine.render import render
+from gslidar_tpu.engine.train import CameraBatch, camera_to_batch
+from gslidar_tpu.utils.general import make_image_grid, save_image, visualize_depth
+from gslidar_tpu.utils.metrics import (DepthMeter, IntensityMeter, PointsMeter,
+                                       RaydropMeter)
+
+EPS = 1e-5
+
+
+def make_eval_render(args, cfg, settings, bg):
+    sf = float(args.scale_factor)
+    dynamic = bool(args.dynamic)
+    median_depth = bool(args.get("median_depth", False))
+
+    @jax.jit
+    def eval_render(params, alive, prior, cam: CameraBatch, sh_degree):
+        return render(params, alive, cam.viewmat, cam.campos, cam.timestamp,
+                      cam.towards_idx, prior, bg, sh_degree, sf, cfg,
+                      settings, dynamic=dynamic, median_depth=median_depth)
+    return eval_render
+
+
+def render_range_map(args, cam_front, cam_back, eval_render, params, alive,
+                     prior, sh_degree, hw):
+    """Stitch front+back half-panoramas into one 360 map with the reference
+    break layout (0, w/2, 3w/2, 2w) — gaussian_renderer/__init__.py:158-227."""
+    assert cam_front.towards == "forward" and cam_back.towards == "backward"
+    h, w = hw
+    breaks = (0, w // 2, 3 * w // 2, w * 2)
+
+    depth_pano = np.zeros([3, h, w * 2], np.float32)
+    intensity_pano = np.zeros([1, h, w * 2], np.float32)
+    raydrop_pano = np.zeros([1, h, w * 2], np.float32)
+    gt_depth_pano = np.zeros([1, h, w * 2], np.float32)
+    gt_intensity_pano = np.zeros([1, h, w * 2], np.float32)
+
+    for idx, cam in enumerate([cam_front, cam_back]):
+        pkg = eval_render(params, alive, prior, camera_to_batch(cam),
+                          sh_degree)
+        depth = np.asarray(pkg.depth)
+        alpha = np.asarray(pkg.alpha)
+        raydrop = np.asarray(pkg.raydrop)
+        depth_sq = np.asarray(pkg.depth_square)
+        depth_median = np.asarray(pkg.depth_median)
+
+        depth_var = depth_sq - depth ** 2
+        var_quantile = np.median(depth_var) * 10
+        depth_mix = np.where(depth_var > var_quantile, depth_median, depth)
+        depth3 = np.concatenate([depth_mix, depth, depth_median], axis=0)
+
+        if args.sky_depth:
+            sky = 900.0
+            depth3 = depth3 / np.clip(alpha, EPS, None)
+            if args.depth_blend_mode == 0:
+                depth3 = 1 / np.clip(alpha / np.clip(depth3, EPS, None)
+                                     + (1 - alpha) / sky, EPS, None)
+            else:
+                depth3 = alpha * depth3 + (1 - alpha) * sky
+
+        inten = np.asarray(pkg.intensity_sh)
+        d_gt = np.asarray(cam.pts_depth)
+        i_gt = np.asarray(cam.pts_intensity)
+
+        if idx == 0:   # front 180
+            depth_pano[:, :, breaks[1]:breaks[2]] = depth3
+            gt_depth_pano[:, :, breaks[1]:breaks[2]] = d_gt
+            intensity_pano[:, :, breaks[1]:breaks[2]] = inten
+            gt_intensity_pano[:, :, breaks[1]:breaks[2]] = i_gt
+            raydrop_pano[:, :, breaks[1]:breaks[2]] = raydrop
+        else:          # back wraps around both ends
+            span = breaks[3] - breaks[2]
+            depth_pano[:, :, breaks[2]:breaks[3]] = depth3[:, :, :span]
+            depth_pano[:, :, breaks[0]:breaks[1]] = depth3[:, :, w - breaks[1]:]
+            gt_depth_pano[:, :, breaks[2]:breaks[3]] = d_gt[:, :, :span]
+            gt_depth_pano[:, :, breaks[0]:breaks[1]] = d_gt[:, :, w - breaks[1]:]
+            intensity_pano[:, :, breaks[2]:breaks[3]] = inten[:, :, :span]
+            intensity_pano[:, :, breaks[0]:breaks[1]] = inten[:, :, w - breaks[1]:]
+            gt_intensity_pano[:, :, breaks[2]:breaks[3]] = i_gt[:, :, :span]
+            gt_intensity_pano[:, :, breaks[0]:breaks[1]] = i_gt[:, :, w - breaks[1]:]
+            raydrop_pano[:, :, breaks[2]:breaks[3]] = raydrop[:, :, :span]
+            raydrop_pano[:, :, breaks[0]:breaks[1]] = raydrop[:, :, w - breaks[1]:]
+
+    return (depth_pano, intensity_pano, raydrop_pano, gt_depth_pano,
+            gt_intensity_pano)
+
+
+def complete_eval(iteration, args, scene, state, sh_degree, eval_render,
+                  is_final=False, save_raydrop_data=False):
+    """Reference train.py:467-563. Returns {split: metrics dict}."""
+    scale = scene.resolution_scales[scene.scale_index]
+    if not is_final:
+        configs = [("test", scene.get_test_cameras(scale=scale))]
+    else:
+        configs = [("test", scene.get_test_cameras(scale=scale)),
+                   ("train", scene.get_train_cameras())]
+
+    h, w = args.hw
+    h, w = h // int(scale), w // int(scale)
+    results = {}
+    for name, cameras in configs:
+        if not cameras:
+            continue
+        meters = [RaydropMeter(), IntensityMeter(scale=1),
+                  DepthMeter(scale=args.scale_factor),
+                  PointsMeter(scale=args.scale_factor, vfov=args.vfov),
+                  PointsMeter(scale=args.scale_factor, vfov=args.vfov),
+                  PointsMeter(scale=args.scale_factor, vfov=args.vfov)]
+        outdir = os.path.join(args.model_path, "eval",
+                              f"{name}_{iteration}_render")
+        os.makedirs(outdir, exist_ok=True)
+
+        for idx in range(len(cameras) // 2):
+            cam_front, cam_back = cameras[idx * 2], cameras[idx * 2 + 1]
+            (depth_pano, intensity_pano, raydrop_pano, gt_depth_pano,
+             gt_intensity_pano) = render_range_map(
+                args, cam_front, cam_back, eval_render, state.params,
+                state.aux.alive, state.prior, sh_degree, [h, w])
+
+            raydrop_mask = np.where(raydrop_pano > 0.5, 1.0, 0.0)
+            gt_raydrop = np.where(gt_depth_pano > 0, 0.0, 1.0)
+
+            if save_raydrop_data:
+                savedir = os.path.join(args.model_path, "ray_drop_datasets")
+                np.save(os.path.join(savedir, f"render_{name}",
+                                     f"{cam_front.colmap_id:03d}.npy"),
+                        np.concatenate([raydrop_pano, intensity_pano,
+                                        depth_pano[[0]]]))
+                np.save(os.path.join(savedir, "gt",
+                                     f"{cam_front.colmap_id:03d}.npy"),
+                        np.concatenate([gt_raydrop, gt_intensity_pano,
+                                        gt_depth_pano]))
+
+            depth_pano_m = depth_pano * (1.0 - raydrop_mask)
+            intensity_pano_m = intensity_pano * (1.0 - raydrop_mask)
+
+            grid = [visualize_depth(depth_pano_m[[0]], scale_factor=args.scale_factor),
+                    np.repeat(np.clip(intensity_pano_m, 0, 1), 3, 0),
+                    visualize_depth(depth_pano_m[[1]], scale_factor=args.scale_factor),
+                    np.repeat(np.clip(gt_intensity_pano, 0, 1), 3, 0),
+                    visualize_depth(depth_pano_m[[2]], scale_factor=args.scale_factor),
+                    visualize_depth(raydrop_mask, near=0.01, far=1),
+                    visualize_depth(gt_depth_pano, scale_factor=args.scale_factor),
+                    visualize_depth(gt_raydrop, near=0.01, far=1)]
+            save_image(make_image_grid(grid, nrow=2),
+                       os.path.join(outdir, f"{cam_front.colmap_id:03d}.png"))
+
+            meters[0].update(raydrop_pano, gt_raydrop)
+            meters[1].update(intensity_pano_m, gt_intensity_pano)
+            meters[2].update(depth_pano_m[[0]], gt_depth_pano)
+            for i in range(3):
+                meters[3 + i].update(depth_pano_m[[i]], gt_depth_pano)
+
+        RMSE, Acc, F1 = meters[0].measure()
+        rmse_i, medae_i, lp_i, ssim_i, psnr_i = meters[1].measure()
+        rmse_d, medae_d, lp_d, ssim_d, psnr_d = meters[2].measure()
+        cd_mix, f_mix = meters[3].measure()
+        cd_mean, f_mean = meters[4].measure()
+        cd_med, f_med = meters[5].measure()
+        metrics = {
+            "split": name, "iteration": int(iteration),
+            "Ray drop": {"RMSE": RMSE, "Acc": Acc, "F1": F1},
+            "Point Cloud mix": {"C-D": cd_mix, "F-score": f_mix},
+            "Point Cloud mean": {"C-D": cd_mean, "F-score": f_mean},
+            "Point Cloud median": {"C-D": cd_med, "F-score": f_med},
+            "Depth": {"RMSE": rmse_d, "MedAE": medae_d, "LPIPS": lp_d,
+                      "SSIM": ssim_d, "PSNR": psnr_d},
+            "Intensity SH": {"RMSE": rmse_i, "MedAE": medae_i, "LPIPS": lp_i,
+                             "SSIM": ssim_i, "PSNR": psnr_i},
+        }
+        with open(os.path.join(outdir, "metrics.json"), "w") as f:
+            json.dump(metrics, f, indent=1, default=float)
+        results[name] = metrics
+    return results

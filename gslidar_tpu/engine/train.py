@@ -1,0 +1,154 @@
+"""Training orchestration: jitted step, densification cadence, loop.
+
+Reference: train.py:38-464 (training()). The per-iteration work —
+render, 12 losses, backward, Adam for gaussians + ray-drop prior,
+densification statistics — is ONE jitted program; host code only picks
+cameras, rolls RNG, and triggers densify/eval/checkpoint at the reference
+cadence.
+
+Reference quirk preserved: on densification iterations the freshly
+replaced torch Parameters have .grad None so optimizer.step() is a no-op
+for the gaussians (train.py:356-375); here the step runs in stats-only
+mode on those iterations.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gslidar_tpu.engine.losses import compute_losses
+from gslidar_tpu.engine.render import render
+from gslidar_tpu.models import gaussians as G
+from gslidar_tpu.models.densify import (add_densification_stats,
+                                        densify_and_prune, reset_opacity)
+from gslidar_tpu.models.optim import AdamState, adam_step, group_lrs, init_adam
+from gslidar_tpu.models.raydrop_prior import PriorAdam
+from gslidar_tpu.raster.rasterize import densify_grads_from_T_tap
+from gslidar_tpu.raster.settings import RasterSettings
+
+
+class TrainState(NamedTuple):
+    params: dict
+    aux: G.GaussianAux
+    opt: AdamState
+    prior: jnp.ndarray
+    prior_opt: tuple
+
+
+class CameraBatch(NamedTuple):
+    """Array-only view of one training camera."""
+    viewmat: jnp.ndarray
+    campos: jnp.ndarray
+    timestamp: jnp.ndarray
+    towards_idx: jnp.ndarray
+    pts_depth: jnp.ndarray
+    pts_intensity: jnp.ndarray
+
+
+def camera_to_batch(cam) -> CameraBatch:
+    return CameraBatch(
+        viewmat=jnp.asarray(cam.world_view_transform),
+        campos=jnp.asarray(cam.camera_center),
+        timestamp=jnp.asarray(cam.timestamp, jnp.float32),
+        towards_idx=jnp.asarray(0 if cam.towards == "forward" else 1, jnp.int32),
+        pts_depth=jnp.asarray(cam.pts_depth),
+        pts_intensity=jnp.asarray(cam.pts_intensity))
+
+
+def make_train_step(args, cfg: G.GaussianConfig, settings: RasterSettings,
+                    bg, *, stats_enabled_default=True):
+    """Build the jitted train step for one resolution."""
+    dynamic = bool(args.dynamic)
+    median_depth = bool(args.get("median_depth", False))
+    sf = float(args.scale_factor)
+
+    @functools.partial(jax.jit, static_argnames=("apply_update",),
+                       donate_argnums=(0,))
+    def train_step(state: TrainState, cam: CameraBatch, iteration,
+                   sh_degree, time_shift, stats_on, apply_update: bool = True):
+        cap = state.aux.alive.shape[0]
+        T_tap0 = jnp.zeros((cap, 3, 3), jnp.float32)
+
+        def loss_fn(params, prior, T_tap):
+            pkg = render(params, state.aux.alive, cam.viewmat, cam.campos,
+                         cam.timestamp, cam.towards_idx, prior, bg,
+                         sh_degree, sf, cfg, settings, dynamic=dynamic,
+                         median_depth=median_depth, time_shift=time_shift,
+                         T_tap=T_tap)
+            opa = G.get_opacity(params)[:, 0]
+            loss, log = compute_losses(pkg, cam.pts_depth, cam.pts_intensity,
+                                       iteration, args, opa,
+                                       state.aux.alive.astype(jnp.float32))
+            return loss, (log, pkg)
+
+        grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)
+        (loss, (log, pkg)), (gp, gprior, gtap) = grad_fn(
+            state.params, state.prior, T_tap0)
+
+        # densification statistics (reference train.py:356-362)
+        vs_grad = densify_grads_from_T_tap(gtap, _transmat_for_stats(
+            state.params, cam.viewmat, cfg, cam.timestamp, time_shift), settings)
+        aux = add_densification_stats(
+            state.aux,
+            jnp.where(stats_on, vs_grad, 0.0),
+            jnp.where(stats_on, gp["t"], 0.0),
+            pkg.radii, pkg.visibility & (stats_on > 0))
+
+        if apply_update:
+            lrs = group_lrs(args, iteration)
+            new_params, new_opt = adam_step(state.params, gp, state.opt, lrs)
+        else:
+            new_params, new_opt = state.params, state.opt
+
+        new_prior, new_prior_opt = PriorAdam.step(
+            state.prior, gprior, state.prior_opt, args.raydrop_prior_lr)
+
+        log = dict(log)
+        log["num_dropped"] = pkg.num_dropped
+        return TrainState(new_params, aux, new_opt, new_prior,
+                          new_prior_opt), loss, log
+
+    return train_step
+
+
+def _transmat_for_stats(params, viewmat, cfg, timestamp, time_shift):
+    """Recompute the T frame for the viewspace-gradient conversion (cheap
+    [P, 3, 3] math; matches the forward's means)."""
+    from gslidar_tpu.raster.preprocess import build_transmat
+    ts = timestamp - time_shift
+    means3D = G.get_xyz_shm(params, ts, cfg)
+    means3D = means3D + G.get_inst_velocity(params, cfg) * time_shift
+    T, _ = build_transmat(means3D, G.get_scaling(params), params["rotation"],
+                          viewmat)
+    return T
+
+
+def make_densify_fn(args, cfg: G.GaussianConfig):
+    @functools.partial(jax.jit, static_argnames=("size_threshold_on",
+                                                 "prune_only"))
+    def densify_fn(params, aux, opt, key, extent, size_threshold,
+                   size_threshold_on: bool, prune_only: bool = False):
+        return densify_and_prune(
+            params, aux, opt, key, cfg,
+            max_grad=args.densify_grad_threshold,
+            max_grad_t=args.densify_grad_t_threshold,
+            min_opacity=args.thresh_opa_prune,
+            extent=extent,
+            size_threshold=size_threshold if size_threshold_on else None,
+            prune_only=prune_only)
+    return densify_fn
+
+
+def init_train_state(params, aux, prior) -> TrainState:
+    return TrainState(params=params, aux=aux, opt=init_adam(params),
+                      prior=prior, prior_opt=PriorAdam.init(prior))
+
+
+def reset_opacity_state(state: TrainState, cfg) -> TrainState:
+    p, opt = reset_opacity(state.params, state.opt, cfg)
+    return state._replace(params=p, opt=opt)

@@ -11,6 +11,7 @@ which avoids one recompile per SH ramp step
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 SH_C0 = 0.28209479177387814
@@ -71,7 +72,8 @@ def eval_sh(degree, sh_coeffs: jnp.ndarray, dirs: jnp.ndarray,
     basis = sh_basis(dirs)[..., :K]                       # [P, K]
     band_ok = (_BAND[:K][None, :] <= degree).astype(basis.dtype)
     basis = basis * band_ok
-    vals = jnp.einsum("pk,pkc->pc", basis, sh_coeffs) + 0.5
+    vals = jnp.einsum("pk,pkc->pc", basis, sh_coeffs,
+                  precision=jax.lax.Precision.HIGHEST) + 0.5
     clamped = vals < 0
     if clamp:
         vals = jnp.maximum(vals, 0.0)

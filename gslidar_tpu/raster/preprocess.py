@@ -1,0 +1,179 @@
+"""Per-gaussian preprocessing: projection, splat frame, AABB, culling.
+
+Vectorized over the full capacity-padded gaussian axis; invalid/culled
+gaussians simply carry valid=False and zero tiles. All math matches the
+reference preprocess kernel
+(diff-gaussian-rasterization-2d/cuda_rasterizer/forward.cu:174-287).
+
+Frame convention: ``T`` is [P, 3, 3] with ROWS (u_cam, v_cam, p_cam) —
+the two scaled tangent axes of the splat and its center, all in camera
+coordinates. The CUDA kernel's Tu/Tv/Tw vectors are the COLUMNS of this
+matrix (the x/y/z component triples); see forward.cu:73-113 and the
+pure-torch oracle scripts/compare_2dgs_3dgs.py:161-179 which uses the
+same row layout.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gslidar_tpu.ops.sh import eval_sh
+from gslidar_tpu.raster.settings import (FRUSTUM_MARGIN, NEAR_N,
+                                         RasterSettings)
+
+
+def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
+    """[P, 4] (w, x, y, z) quaternions -> [P, 3, 3] rotation matrices.
+
+    Normalizes internally (reference auxiliary.h:206-228; quaternion scalar
+    part is stored first, scene/gaussian_model.py uses the same layout).
+    """
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return jnp.stack([
+        jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], -1),
+        jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)], -1),
+        jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)], -1),
+    ], -2)
+
+
+def build_transmat(means3D, scales, quats, viewmat, scale_modifier=1.0):
+    """Splat-to-camera frame and camera-space normal.
+
+    Args:
+        means3D: [P, 3] world positions.
+        scales: [P, >=2]; only the first two are tangent extents (the third
+            is carried by the model but unused by the 2D splat, reference
+            auxiliary.h:276-283).
+        quats: [P, 4] (w, x, y, z).
+        viewmat: [4, 4] world->camera, row-major (p_cam = M[:3,:3] @ p + M[:3,3]).
+    Returns:
+        T [P, 3, 3] rows (u_cam, v_cam, p_cam); normal [P, 3] camera-space,
+        sign-flipped towards the camera (dual-visible, forward.cu:108-112).
+    """
+    R = quat_to_rotmat(quats)                       # [P,3,3] columns = axes
+    Rw2c = viewmat[:3, :3]
+    u_world = R[..., :, 0] * (scales[..., 0:1] * scale_modifier)
+    v_world = R[..., :, 1] * (scales[..., 1:2] * scale_modifier)
+    n_world = R[..., :, 2]                           # unit (S[2][2] == 1)
+    # geometry must be exact f32 — the default TPU matmul precision is
+    # bf16-ish and shifts positions by ~1e-3 relative
+    hp = jax.lax.Precision.HIGHEST
+    u_cam = jnp.matmul(u_world, Rw2c.T, precision=hp)
+    v_cam = jnp.matmul(v_world, Rw2c.T, precision=hp)
+    p_cam = jnp.matmul(means3D, Rw2c.T, precision=hp) + viewmat[:3, 3]
+    normal = jnp.matmul(n_world, Rw2c.T, precision=hp)
+    # flip so the normal faces the camera (dot(normal, p_cam) < 0 keeps +1)
+    flip = jnp.where(jnp.sum(normal * p_cam, axis=-1, keepdims=True) < 0, 1.0, -1.0)
+    normal = normal * flip
+    T = jnp.stack([u_cam, v_cam, p_cam], axis=-2)
+    return T, normal
+
+
+class PreprocessOut(NamedTuple):
+    T: jnp.ndarray            # [P, 3, 3]
+    xy: jnp.ndarray           # [P, 2] pixel coords of the center (x=width)
+    depth: jnp.ndarray        # [P] spherical range of the center
+    normal: jnp.ndarray       # [P, 3]
+    color: jnp.ndarray        # [P, C] SH-evaluated channels
+    radius: jnp.ndarray       # [P] float conservative pixel radius
+    rect_min: jnp.ndarray     # [P, 2] int32 (tx, ty) inclusive
+    rect_max: jnp.ndarray     # [P, 2] int32 exclusive
+    tiles_touched: jnp.ndarray  # [P] int32
+    valid: jnp.ndarray        # [P] bool
+
+
+_AABB_SAMPLES = 12
+
+
+def preprocess(means3D, scales, quats, opacity, shs, mask, viewmat, campos,
+               sh_degree, scale_factor, settings: RasterSettings,
+               scale_modifier=1.0, colors_precomp=None) -> PreprocessOut:
+    """Full preprocess pass (reference forward.cu:174-287).
+
+    opacity: [P] activated opacity (possibly already multiplied by the
+    temporal marginal); shs: [P, K, C] or None when colors_precomp given;
+    mask: [P] bool prefilter (alive & opacity cut, gaussian_renderer/
+    __init__.py:113-115).
+    """
+    VFOV_min, VFOV_max, HFOV_min, HFOV_max = settings.angle_bounds
+    H, W = settings.height, settings.width
+
+    T, normal = build_transmat(means3D, scales, quats, viewmat, scale_modifier)
+    p_cam = T[:, 2, :]
+    x, y, z = p_cam[:, 0], p_cam[:, 1], p_cam[:, 2]
+    phi = jnp.arctan2(x, z)
+    theta = jnp.arctan2(jnp.sqrt(x * x + z * z), -y)
+    r = jnp.linalg.norm(p_cam, axis=-1)
+
+    # panoramic frustum cull (auxiliary.h:182-204)
+    center_v = 0.5 * (VFOV_max + VFOV_min)
+    half_v = 0.5 * (VFOV_max - VFOV_min)
+    center_h = 0.5 * (HFOV_max + HFOV_min)
+    half_h = 0.5 * (HFOV_max - HFOV_min)
+    in_frustum = ((r > NEAR_N * scale_factor)
+                  & (jnp.abs((theta - center_v) / half_v) <= FRUSTUM_MARGIN)
+                  & (jnp.abs((phi - center_h) / half_h) <= FRUSTUM_MARGIN))
+    valid = mask & in_frustum
+
+    # AABB by sampling the cutoff ellipse (forward.cu:129-171,243)
+    cutoff = jnp.sqrt(jnp.maximum(9.0 + 2.0 * jnp.log(jnp.maximum(opacity, 1e-30)),
+                                  1e-6))
+    ang = 2.0 * jnp.pi * jnp.arange(_AABB_SAMPLES) / _AABB_SAMPLES
+    sa, ca = jnp.sin(ang), jnp.cos(ang)
+    # sample point in camera space: cutoff*(sin a)*u + cutoff*(cos a)*v + p
+    sample = (cutoff[:, None, None] * (sa[None, :, None] * T[:, None, 0, :]
+                                       + ca[None, :, None] * T[:, None, 1, :])
+              + p_cam[:, None, :])                       # [P, 12, 3]
+    s_phi = jnp.arctan2(sample[..., 0], sample[..., 2])
+    s_theta = jnp.arctan2(jnp.sqrt(sample[..., 0] ** 2 + sample[..., 2] ** 2),
+                          -sample[..., 1])
+    sx_pix = (s_phi - HFOV_min) * W / (HFOV_max - HFOV_min)
+    sy_pix = (s_theta - VFOV_min) * H / (VFOV_max - VFOV_min)
+
+    cx_pix = (phi - HFOV_min) * W / (HFOV_max - HFOV_min)
+    cy_pix = (theta - VFOV_min) * H / (VFOV_max - VFOV_min)
+    radius = jnp.maximum(
+        jnp.maximum(jnp.max(sx_pix, 1) - cx_pix, cx_pix - jnp.min(sx_pix, 1)),
+        jnp.maximum(jnp.max(sy_pix, 1) - cy_pix, cy_pix - jnp.min(sy_pix, 1)))
+    valid = valid & (radius >= 0.3)                      # forward.cu:257-258
+    rad_i = jnp.ceil(radius)
+
+    # tile rect: center +- radius, clamped to the grid (auxiliary.h:47-55)
+    gx, gy = settings.tiles_x, settings.tiles_y
+    tw, th = settings.tile_w, settings.tile_h
+    rect_min_x = jnp.clip(((cx_pix - rad_i) / tw).astype(jnp.int32), 0, gx)
+    rect_min_y = jnp.clip(((cy_pix - rad_i) / th).astype(jnp.int32), 0, gy)
+    rect_max_x = jnp.clip(((cx_pix + rad_i + tw - 1) / tw).astype(jnp.int32), 0, gx)
+    rect_max_y = jnp.clip(((cy_pix + rad_i + th - 1) / th).astype(jnp.int32), 0, gy)
+    area = (rect_max_x - rect_min_x) * (rect_max_y - rect_min_y)
+    valid = valid & (area > 0)
+
+    if settings.max_tiles_per_gaussian:
+        # optional safety clamp: keep the rect centred rows/cols first
+        pass  # (not applied in parity mode)
+
+    tiles_touched = jnp.where(valid, area, 0).astype(jnp.int32)
+
+    if colors_precomp is not None:
+        color = colors_precomp
+    else:
+        dirs = means3D - campos[None, :]
+        dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
+        color, _ = eval_sh(sh_degree, shs, dirs)
+
+    return PreprocessOut(
+        T=T,
+        xy=jnp.stack([cx_pix, cy_pix], -1),
+        depth=r,
+        normal=normal,
+        color=color,
+        radius=jnp.where(valid, rad_i, 0.0),
+        rect_min=jnp.stack([rect_min_x, rect_min_y], -1),
+        rect_max=jnp.stack([rect_max_x, rect_max_y], -1),
+        tiles_touched=tiles_touched,
+        valid=valid,
+    )

@@ -1,0 +1,78 @@
+"""Static rasterizer configuration.
+
+Everything in this dataclass is hashable and treated as a jit-static
+argument; per-call dynamic state (viewmatrix, campos, bg, sh degree,
+scale_factor) is passed separately as arrays.
+
+Constants mirror the reference CUDA configuration:
+  near = 2.0 * scale_factor, far = 300.0 * scale_factor
+  (cuda_rasterizer/auxiliary.h:20-21), low-pass FilterInvSquare = 2
+  (auxiliary.h:22), alpha floor 1/255 and transmittance stop 1e-4
+  (forward.cu:439-446), frustum margin 1.3 (auxiliary.h:182-204).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+NEAR_N = 2.0
+FAR_N = 300.0
+FILTER_INV_SQUARE = 2.0
+ALPHA_EPS = 1.0 / 255.0
+T_STOP = 1e-4
+FRUSTUM_MARGIN = 1.3
+MAX_ALPHA = 0.99
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterSettings:
+    height: int
+    width: int
+    vfov: tuple  # degrees (min, max)
+    hfov: tuple  # degrees (min, max)
+    num_extra_features: int = 0   # S: extra blended channels (t_scale, v)
+    tile_h: int = 16              # BLOCK_Y (reference config.h:14)
+    tile_w: int = 16              # BLOCK_X (reference config.h:13)
+    pair_cap: int = 1 << 20       # K: max (gaussian, tile) instances
+    tile_chunk: int = 64          # instances composited per scan step
+    tile_list_cap: int = 4096     # max instances composited per tile
+    max_tiles_per_gaussian: int = 0  # 0 = unlimited (clamped to grid size)
+
+    def __post_init__(self):
+        object.__setattr__(self, "vfov", tuple(float(v) for v in self.vfov))
+        object.__setattr__(self, "hfov", tuple(float(v) for v in self.hfov))
+
+    @property
+    def tiles_y(self) -> int:
+        return (self.height + self.tile_h - 1) // self.tile_h
+
+    @property
+    def tiles_x(self) -> int:
+        return (self.width + self.tile_w - 1) // self.tile_w
+
+    @property
+    def num_tiles(self) -> int:
+        return self.tiles_y * self.tiles_x
+
+    @property
+    def tile_pixels(self) -> int:
+        return self.tile_h * self.tile_w
+
+    @property
+    def angle_bounds(self):
+        """(VFOV_min, VFOV_max, HFOV_min, HFOV_max) in radians
+        (reference forward.cu:221-226)."""
+        VFOV_max = math.pi / 2 - self.vfov[0] * math.pi / 180
+        VFOV_min = math.pi / 2 - self.vfov[1] * math.pi / 180
+        HFOV_max = self.hfov[1] * math.pi / 180
+        HFOV_min = self.hfov[0] * math.pi / 180
+        return VFOV_min, VFOV_max, HFOV_min, HFOV_max
+
+    @property
+    def depth_bits(self) -> int:
+        """Bits of the uint32 sort key used for quantized depth; the rest
+        hold the tile id (binning.py)."""
+        tile_bits = max(1, (self.num_tiles + 1).bit_length())
+        return 32 - tile_bits

@@ -1,0 +1,236 @@
+"""Rasterizer parity + gradient tests: tiled scan renderer vs dense oracle."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gslidar_tpu.raster import RasterSettings, rasterize
+from gslidar_tpu.raster.oracle import rasterize_dense
+from gslidar_tpu.raster.preprocess import build_transmat, quat_to_rotmat
+
+VFOV = (-20.0, 20.0)
+HFOV = (-60.0, 60.0)
+
+
+def make_scene(rng, P=64, dynamic_opacity=True):
+    """Random gaussians in front of the camera within the FOV."""
+    theta = rng.uniform(np.pi / 2 - 18 * np.pi / 180,
+                        np.pi / 2 + 18 * np.pi / 180, P)
+    phi = rng.uniform(-55 * np.pi / 180, 55 * np.pi / 180, P)
+    r = rng.uniform(4.0, 40.0, P)
+    x = r * np.sin(theta) * np.sin(phi)
+    z = r * np.sin(theta) * np.cos(phi)
+    y = -r * np.cos(theta)
+    means = np.stack([x, y, z], 1).astype(np.float32)
+    scales = rng.uniform(0.3, 1.5, (P, 3)).astype(np.float32)
+    quats = rng.normal(size=(P, 4)).astype(np.float32)
+    opac = (rng.uniform(0.2, 0.95, P) if dynamic_opacity
+            else np.full(P, 0.8)).astype(np.float32)
+    shs = (rng.normal(size=(P, 16, 4)) * 0.2).astype(np.float32)
+    feats = rng.normal(size=(P, 2)).astype(np.float32)
+    return means, scales, quats, opac, shs, feats
+
+
+def identity_view():
+    return jnp.eye(4, dtype=jnp.float32), jnp.zeros(3, jnp.float32)
+
+
+SET = RasterSettings(height=48, width=96, vfov=VFOV, hfov=HFOV,
+                     num_extra_features=2, pair_cap=1 << 13,
+                     tile_chunk=16, tile_list_cap=256)
+BG = jnp.asarray([0.0, 0.0, 0.0, 1.0])
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted(settings, dense):
+    fn = rasterize_dense if dense else rasterize
+    return jax.jit(lambda *a: fn(*a, settings=settings))
+
+
+def run_both(scene, settings=SET, sh_degree=3):
+    means, scales, quats, opac, shs, feats = map(jnp.asarray, scene)
+    viewmat, campos = identity_view()
+    mask = jnp.ones(means.shape[0], bool)
+    args = (means, jnp.exp(jnp.log(scales)), quats, opac, shs, feats, mask,
+            viewmat, campos, BG, sh_degree, 1.0)
+    tiled = _jitted(settings, False)(*args)
+    dense = _jitted(settings, True)(*args)
+    return tiled, dense
+
+
+def test_tiled_matches_oracle(rng):
+    tiled, dense = run_both(make_scene(rng, P=96))
+    assert float(tiled.num_dropped) == 0
+    np.testing.assert_allclose(np.asarray(tiled.color),
+                               np.asarray(dense["color"]), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(tiled.alpha),
+                               np.asarray(dense["alpha"]), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(tiled.depth[0]),
+                               np.asarray(dense["depth"][0]), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(tiled.depth[3]),
+                               np.asarray(dense["depth"][3]), atol=0.2)
+    np.testing.assert_allclose(np.asarray(tiled.feature),
+                               np.asarray(dense["feature"]), atol=2e-3)
+    # distortion map
+    np.testing.assert_allclose(np.asarray(tiled.depth[2]),
+                               np.asarray(dense["depth"][2]), atol=2e-4)
+    # median depth: allow tie-breaking differences on a few pixels
+    md_t = np.asarray(tiled.depth[1])
+    md_d = np.asarray(dense["depth"][1])
+    frac_diff = np.mean(np.abs(md_t - md_d) > 1e-2)
+    assert frac_diff < 0.02
+
+
+def test_alpha_blending_monotone(rng):
+    tiled, _ = run_both(make_scene(rng, P=32))
+    a = np.asarray(tiled.alpha)
+    assert a.min() >= 0 and a.max() <= 1 + 1e-5
+    T = np.asarray(tiled.final_T)
+    assert np.allclose(a + T, 1.0, atol=1e-5)
+
+
+def test_background_on_empty_scene():
+    settings = SET
+    P = 8
+    means = jnp.asarray(np.full((P, 3), 1e6, np.float32))  # far outside
+    scales = jnp.ones((P, 3))
+    quats = jnp.asarray(np.tile([1, 0, 0, 0], (P, 1)).astype(np.float32))
+    opac = jnp.full((P,), 0.9)
+    shs = jnp.zeros((P, 16, 4))
+    feats = jnp.zeros((P, 2))
+    viewmat, campos = identity_view()
+    out = _jitted(settings, False)(means, scales, quats, opac, shs, feats,
+                                   jnp.ones(P, bool), viewmat, campos, BG,
+                                   3, 0.05)
+    np.testing.assert_allclose(np.asarray(out.color[3]), 1.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.alpha), 0.0, atol=1e-6)
+    assert float(jnp.max(out.radii)) == 0.0
+
+
+def test_gradients_match_oracle(rng):
+    """jax.grad of the tiled renderer == jax.grad of the dense oracle."""
+    scene = make_scene(rng, P=48)
+    means, scales, quats, opac, shs, feats = map(jnp.asarray, scene)
+    viewmat, campos = identity_view()
+    mask = jnp.ones(means.shape[0], bool)
+    target = jnp.asarray(rng.uniform(1, 30, (SET.height, SET.width)).astype(np.float32))
+
+    def loss_tiled(params):
+        m, s, q, o, c = params
+        out = rasterize(m, s, q, o, c, feats, mask, viewmat, campos, BG,
+                        3, 1.0, settings=SET)
+        return (jnp.mean(jnp.abs(out.depth[0] - target))
+                + jnp.mean(out.color ** 2) + 0.1 * jnp.mean(out.alpha)
+                + 0.01 * jnp.mean(out.depth[2]))
+
+    def loss_dense(params):
+        m, s, q, o, c = params
+        out = rasterize_dense(m, s, q, o, c, feats, mask, viewmat, campos,
+                              BG, 3, 1.0, settings=SET)
+        return (jnp.mean(jnp.abs(out["depth"][0] - target))
+                + jnp.mean(out["color"] ** 2) + 0.1 * jnp.mean(out["alpha"])
+                + 0.01 * jnp.mean(out["depth"][2]))
+
+    params = (means, scales, quats, opac, shs)
+    g1 = jax.jit(jax.grad(loss_tiled))(params)
+    g2 = jax.jit(jax.grad(loss_dense))(params)
+    for a, b, name in zip(g1, g2, ["means", "scales", "quats", "opac", "shs"]):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = np.maximum(np.abs(b).max(), 1e-8)
+        np.testing.assert_allclose(a / denom, b / denom, atol=5e-3,
+                                   err_msg=f"grad mismatch: {name}")
+
+
+def test_finite_difference_gradient(rng):
+    """Finite differences on a 3-gaussian scene in float64."""
+    jax.config.update("jax_enable_x64", True)
+    try:
+        settings = RasterSettings(height=16, width=32, vfov=VFOV, hfov=HFOV,
+                                  num_extra_features=0, pair_cap=1 << 9,
+                                  tile_chunk=8, tile_list_cap=32)
+        means = jnp.asarray([[0.0, -0.5, 8.0], [1.0, 0.5, 10.0],
+                             [-1.0, 0.0, 12.0]], jnp.float64)
+        scales = jnp.full((3, 3), 1.2, jnp.float64)
+        quats = jnp.asarray(np.random.default_rng(0).normal(size=(3, 4)))
+        opac = jnp.asarray([0.7, 0.6, 0.8], jnp.float64)
+        shs = jnp.asarray(0.3 * np.random.default_rng(1).normal(size=(3, 16, 4)))
+        feats = jnp.zeros((3, 0), jnp.float64)
+        mask = jnp.ones(3, bool)
+        viewmat = jnp.eye(4, dtype=jnp.float64)
+        campos = jnp.zeros(3, jnp.float64)
+        bg = jnp.asarray([0.0, 0.0, 0.0, 1.0], jnp.float64)
+
+        def loss_tiled(m):
+            out = rasterize(m, scales, quats, opac, shs, feats, mask,
+                            viewmat, campos, bg, 3, 1.0, settings=settings)
+            return (jnp.sum(out.color ** 2) + jnp.sum(out.depth[0] ** 2) * 1e-3
+                    + jnp.sum(out.depth[2]))
+
+        def loss_dense(m):
+            out = rasterize_dense(m, scales, quats, opac, shs, feats, mask,
+                                  viewmat, campos, bg, 3, 1.0,
+                                  settings=settings)
+            return (jnp.sum(out["color"] ** 2)
+                    + jnp.sum(out["depth"][0] ** 2) * 1e-3
+                    + jnp.sum(out["depth"][2]))
+
+        # tiled autodiff must equal dense autodiff exactly in f64
+        g = np.asarray(jax.jit(jax.grad(loss_tiled))(means))
+        gd = np.asarray(jax.jit(jax.grad(loss_dense))(means))
+        np.testing.assert_allclose(g, gd, atol=1e-6)
+
+        # finite differences on the dense loss (the tiled one is piecewise
+        # in the binning: a +-eps step can flip a tile-rect boundary, which
+        # autodiff correctly treats as fixed, like the CUDA backward)
+        loss = jax.jit(loss_dense)
+        eps = 1e-5
+        for i in [0, 1, 2]:
+            for j in [0, 1, 2]:
+                dm = np.zeros((3, 3))
+                dm[i, j] = eps
+                fd = (float(loss(means + dm)) - float(loss(means - dm))) / (2 * eps)
+                assert np.isclose(gd[i, j], fd, rtol=2e-3, atol=1e-4), \
+                    f"grad[{i},{j}]={gd[i,j]} vs fd={fd}"
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def test_transmat_against_reference_construction(rng):
+    """T rows must equal (R_w2c @ (s*axis), R_w2c @ p + t) — the construction
+    in compare_2dgs_3dgs.py:161-179 / forward.cu:73-113."""
+    P = 10
+    means = jnp.asarray(rng.normal(size=(P, 3)).astype(np.float32))
+    scales = jnp.asarray(rng.uniform(0.5, 2, (P, 3)).astype(np.float32))
+    quats = jnp.asarray(rng.normal(size=(P, 4)).astype(np.float32))
+    # random rigid world->camera
+    q = rng.normal(size=4)
+    Rw2c = np.asarray(quat_to_rotmat(jnp.asarray(q[None]))[0])
+    t = rng.normal(size=3)
+    viewmat = np.eye(4, dtype=np.float32)
+    viewmat[:3, :3] = Rw2c
+    viewmat[:3, 3] = t
+    T, normal = build_transmat(means, scales, quats, jnp.asarray(viewmat))
+    R = np.asarray(quat_to_rotmat(quats))
+    for i in range(P):
+        u = Rw2c @ (R[i][:, 0] * float(scales[i, 0]))
+        v = Rw2c @ (R[i][:, 1] * float(scales[i, 1]))
+        p = Rw2c @ np.asarray(means[i]) + t
+        np.testing.assert_allclose(np.asarray(T[i, 0]), u, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(T[i, 1]), v, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(T[i, 2]), p, atol=1e-5)
+        n = Rw2c @ R[i][:, 2]
+        if np.dot(n, p) >= 0:
+            n = -n
+        np.testing.assert_allclose(np.asarray(normal[i]), n, atol=1e-5)
+
+
+def test_pair_overflow_reported(rng):
+    small = RasterSettings(height=48, width=96, vfov=VFOV, hfov=HFOV,
+                           num_extra_features=2, pair_cap=64,
+                           tile_chunk=16, tile_list_cap=256)
+    tiled, _dense = run_both(make_scene(rng, P=96), settings=small)
+    assert float(tiled.num_dropped) > 0

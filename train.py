@@ -1,0 +1,321 @@
+#!/usr/bin/env python
+"""Training entry point — CLI-compatible with the reference GS-LiDAR.
+
+Usage (reference README.md:80-116):
+    python train.py --config configs/kitti360_nvs_1908.yaml [key=value ...]
+                    [--test_only] [--median_depth] [--debug_cuda]
+
+Reference: train.py (entry + training()). The per-iteration hot path is one
+jitted TPU program; host code handles camera selection, densify/eval
+cadence, coarse-to-fine rescale and checkpoints.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+
+from gslidar_tpu.config import Config, load_run_config
+
+
+def build_scene(args):
+    from gslidar_tpu.data.scene import Scene
+    from gslidar_tpu.data.kitti360 import read_kitti360_info
+    from gslidar_tpu.data.synthetic import read_synthetic_info
+
+    callbacks = {
+        "Kitti360": read_kitti360_info,
+        "Synthetic": read_synthetic_info,
+    }
+    try:
+        from gslidar_tpu.data.opv2v import (read_opv2v_info,
+                                            read_opv2v_info_spoof_remove)
+        callbacks["OPV2V"] = read_opv2v_info
+        callbacks["OPV2V_SR"] = read_opv2v_info_spoof_remove
+    except ImportError:
+        pass
+    info = callbacks[args.scene_type](args)
+    return Scene(args, info, shuffle=args.shuffle)
+
+
+def make_settings(args, h, w):
+    from gslidar_tpu.raster.settings import RasterSettings
+    return RasterSettings(
+        height=h, width=w, vfov=tuple(args.vfov), hfov=tuple(args.hfov),
+        num_extra_features=4,
+        pair_cap=int(args.get("raster_pair_cap", 1 << 21)),
+        tile_chunk=int(args.get("raster_tile_chunk", 64)),
+        tile_list_cap=int(args.get("raster_tile_list_cap", 4096)))
+
+
+def gaussian_config(args, no_time_split=None):
+    from gslidar_tpu.models.gaussians import GaussianConfig
+    return GaussianConfig(
+        sh_degree=args.sh_degree, cycle=args.cycle,
+        velocity_decay=args.velocity_decay,
+        time_duration=tuple(args.time_duration), t_init=args.t_init,
+        no_time_split=(args.no_time_split if no_time_split is None
+                       else no_time_split),
+        t_grad=args.t_grad, contract=args.contract,
+        big_point_threshold=args.big_point_threshold,
+        random_init_point=args.random_init_point,
+        percent_dense=args.percent_dense)
+
+
+def training(args):
+    import jax
+    import jax.numpy as jnp
+    from gslidar_tpu.engine.evaluate import complete_eval, make_eval_render
+    from gslidar_tpu.engine.checkpoint import (checkpoint_path,
+                                               latest_checkpoint,
+                                               load_checkpoint,
+                                               save_checkpoint)
+    from gslidar_tpu.engine.train import (camera_to_batch, init_train_state,
+                                          make_densify_fn, make_train_step,
+                                          reset_opacity_state)
+    from gslidar_tpu.models.gaussians import (create_from_pcd, grow_capacity,
+                                              round_capacity)
+    from gslidar_tpu.models.raydrop_prior import (init_raydrop_prior,
+                                                  raydrop_prior_upscale)
+    from gslidar_tpu.utils.general import (make_image_grid, save_image,
+                                           visualize_depth)
+
+    vis_path = os.path.join(args.model_path, "visualization")
+    os.makedirs(vis_path, exist_ok=True)
+
+    scene = build_scene(args)
+    with open(os.path.join(args.model_path, "scale_factor.txt"), "w") as f:
+        f.write(str(args.scale_factor))
+
+    cfg = gaussian_config(args)
+    pts, colors, normals, times = scene.scene_info.point_cloud
+    params, aux = create_from_pcd(pts, colors, times, cfg, seed=args.seed)
+
+    start_w, start_h = scene.get_wh()
+    prior = init_raydrop_prior(start_h, start_w)
+    state = init_train_state(params, aux, prior)
+
+    bg_color = [1, 1, 1, 1] if args.white_background else [0, 0, 0, 1]
+    bg = jnp.asarray(bg_color, jnp.float32)
+
+    first_iter = 0
+    if args.start_checkpoint:
+        state, first_iter = load_checkpoint(args.start_checkpoint, state)
+        for _ in range(first_iter // args.scale_increase_interval):
+            scene.up_scale()
+
+    def build_fns(no_time_split):
+        w, h = scene.get_wh()
+        settings = make_settings(args, h, w)
+        cfg_now = gaussian_config(args, no_time_split=no_time_split)
+        step = make_train_step(args, cfg_now, settings, bg)
+        densify = make_densify_fn(args, cfg_now)
+        ev = make_eval_render(args, cfg_now, settings, bg)
+        return step, densify, ev, cfg_now
+
+    no_time_split = bool(args.no_time_split)
+    train_step, densify_fn, eval_render, cfg_now = build_fns(no_time_split)
+
+    if args.test_only or first_iter == args.iterations:
+        sh_deg = min(first_iter // args.sh_increase_interval, args.sh_degree)
+        complete_eval(first_iter, args, scene, state, sh_deg, eval_render,
+                      is_final=True, save_raydrop_data=True)
+        return state, scene
+
+    rng = np.random.default_rng(args.seed)
+    key = jax.random.PRNGKey(args.seed)
+    viewpoint_stack = []
+    ema = {}
+    t_start = time.time()
+
+    for iteration in range(first_iter + 1, args.iterations + 1):
+        sh_degree = min(iteration // args.sh_increase_interval, args.sh_degree)
+
+        if not viewpoint_stack:
+            viewpoint_stack = list(range(len(scene.get_train_cameras())))
+        cam_idx = viewpoint_stack.pop(rng.integers(len(viewpoint_stack)))
+        cam = scene.get_train_cameras()[cam_idx]
+
+        if rng.random() < args.lambda_self_supervision:
+            time_shift = 3 * (rng.random() - 0.5) * scene.time_interval
+        else:
+            time_shift = 0.0
+
+        in_window = (args.densify_from_iter < iteration < args.densify_until_iter
+                     and (args.densify_until_num_points < 0
+                          or int(np.asarray(jnp.sum(state.aux.alive)))
+                          < args.densify_until_num_points))
+        is_densify = (in_window
+                      and iteration % args.densification_interval == 0)
+
+        state, loss, log = train_step(
+            state, camera_to_batch(cam), jnp.asarray(iteration, jnp.float32),
+            jnp.asarray(sh_degree, jnp.int32),
+            jnp.asarray(time_shift, jnp.float32),
+            jnp.asarray(in_window), apply_update=not is_densify)
+
+        # flip time-split mode (reference train.py:356-357)
+        if no_time_split and iteration > args.densify_until_iter * args.time_split_frac:
+            no_time_split = False
+            train_step, densify_fn, eval_render, cfg_now = build_fns(no_time_split)
+
+        if is_densify:
+            size_on = (iteration > args.opacity_reset_interval
+                       and args.prune_big_point > 0)
+            size_threshold = (args.size_threshold
+                              // scene.resolution_scales[0]) if size_on else 0
+            key, sub = jax.random.split(key)
+            out = densify_fn(state.params, state.aux, state.opt, sub,
+                             jnp.asarray(scene.cameras_extent, jnp.float32),
+                             size_threshold, size_threshold_on=size_on)
+            state = state._replace(params=out.params, aux=out.aux,
+                                   opt=out.opt_state)
+            n_alive = int(out.n_alive)
+            cap = state.aux.alive.shape[0]
+            if out.n_new_placed < out.n_new_requested or n_alive > 0.9 * cap:
+                new_cap = round_capacity(int(cap * 2))
+                if (args.densify_until_num_points < 0
+                        or cap < args.densify_until_num_points * 1.3):
+                    p, a, o = grow_capacity(state.params, state.aux,
+                                            state.opt, new_cap)
+                    state = state._replace(params=p, aux=a, opt=o)
+                    print(f"[{iteration}] grew capacity {cap} -> {new_cap}")
+
+        if (in_window and (iteration % args.opacity_reset_interval == 0
+                           or (args.white_background
+                               and iteration == args.densify_from_iter))):
+            state = reset_opacity_state(state, cfg_now)
+
+        if iteration % 10 == 0 or iteration == 1:
+            for k in ("loss",):
+                ema[k] = 0.4 * float(log[k]) + 0.6 * ema.get(k, 0.0)
+            n_alive = int(np.asarray(jnp.sum(state.aux.alive)))
+            rate = iteration / max(time.time() - t_start, 1e-9)
+            print(f"[{iteration}/{args.iterations}] loss={ema['loss']:.5f} "
+                  f"pts={n_alive} it/s={rate:.2f}", flush=True)
+
+        if iteration in args.test_iterations:
+            complete_eval(iteration, args, scene, state, sh_degree,
+                          eval_render,
+                          is_final=(iteration == args.iterations),
+                          save_raydrop_data=(iteration == args.iterations))
+
+        if iteration % args.vis_step == 0 or iteration == 1:
+            pkg = eval_render(state.params, state.aux.alive, state.prior,
+                              camera_to_batch(cam),
+                              jnp.asarray(sh_degree, jnp.int32))
+            imgs = [visualize_depth(np.asarray(pkg.depth),
+                                    scale_factor=args.scale_factor)]
+            if cam.pts_depth is not None:
+                imgs.append(visualize_depth(cam.pts_depth,
+                                            scale_factor=args.scale_factor))
+            save_image(make_image_grid(imgs, nrow=2),
+                       os.path.join(vis_path,
+                                    f"{iteration:05d}_{cam.colmap_id:03d}.png"))
+
+        if iteration % args.scale_increase_interval == 0:
+            scene.up_scale()
+            next_w, next_h = scene.get_wh()
+            state = state._replace(
+                prior=raydrop_prior_upscale(state.prior, next_h, next_w))
+            from gslidar_tpu.models.raydrop_prior import PriorAdam
+            state = state._replace(prior_opt=PriorAdam.init(state.prior))
+            train_step, densify_fn, eval_render, cfg_now = build_fns(no_time_split)
+
+        if iteration in args.checkpoint_iterations:
+            print(f"\n[ITER {iteration}] Saving Checkpoint", flush=True)
+            save_checkpoint(checkpoint_path(args.model_path, iteration),
+                            state, iteration)
+
+    return state, scene
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(description="Training script parameters")
+    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--base_config", type=str, default="configs/base.yaml")
+    parser.add_argument("--start_checkpoint", type=str, default=None)
+    parser.add_argument("--debug_cuda", action="store_true")
+    parser.add_argument("--test_only", action="store_true")
+    parser.add_argument("--median_depth", action="store_true")
+    parser.add_argument("--show_log", action="store_true", default=True)
+    parser.add_argument("--skip_refine", action="store_true")
+    args_read, _ = parser.parse_known_args()
+
+    args = load_run_config(args_read.base_config, args_read.config)
+    Config.update(args, "start_checkpoint", args_read.start_checkpoint)
+    Config.update(args, "debug_cuda", args_read.debug_cuda)
+    Config.update(args, "test_only", args_read.test_only)
+    Config.update(args, "median_depth", args_read.median_depth)
+
+    if (os.path.exists(args.model_path) and not args.test_only
+            and args.start_checkpoint is None):
+        shutil.rmtree(args.model_path)
+    os.makedirs(args.model_path, exist_ok=True)
+
+    if not args.dynamic:
+        args.t_grad = False
+
+    args.save_iterations = list(args.save_iterations) + [args.iterations]
+    args.checkpoint_iterations = (list(args.checkpoint_iterations)
+                                  + [args.iterations])
+    args.test_iterations = list(args.test_iterations) + [args.iterations]
+
+    if args.test_only:
+        args.shuffle = False
+        from gslidar_tpu.engine.checkpoint import latest_checkpoint
+        resolution_idx = len(args.resolution_scales) - 1
+        for iteration in args.checkpoint_iterations:
+            path = os.path.join(args.model_path, "ckpt", f"chkpnt{iteration}.npz")
+            if os.path.exists(path):
+                args.start_checkpoint = path
+                resolution_idx = len(args.resolution_scales) - 1
+                for _ in range(iteration // args.scale_increase_interval):
+                    resolution_idx = max(0, resolution_idx - 1)
+        args.resolution_scales = [args.resolution_scales[resolution_idx]]
+        with open(os.path.join(args.model_path, "scale_factor.txt")) as f:
+            args.scale_factor = float(f.read())
+
+    if args.debug_cuda:
+        args.resolution_scales = [args.resolution_scales[-1]]
+
+    if args.exhaust_test:
+        args.test_iterations += [i for i in range(0, args.iterations,
+                                                  args.test_interval)]
+
+    print(args.to_dict())
+    print("Optimizing " + args.model_path)
+    with open(os.path.join(args.model_path, "setting.txt"), "w") as f:
+        f.write("------------------ start ------------------\n")
+        for k, v in args.items():
+            f.write(f"{k} : {v}\n")
+        f.write("------------------- end -------------------")
+
+    rd = os.path.join(args.model_path, "ray_drop_datasets")
+    if os.path.exists(rd) and not args.test_only:
+        shutil.rmtree(rd)
+    for sub in ("gt", "render_train", "render_test"):
+        os.makedirs(os.path.join(rd, sub), exist_ok=True)
+    os.makedirs(os.path.join(args.model_path, "ckpt"), exist_ok=True)
+
+    from gslidar_tpu.utils.general import seed_everything
+    seed_everything(args.seed)
+
+    if not args.test_only:
+        training(args)
+    else:
+        training(args)
+
+    print("\nTraining complete.")
+
+    if not args_read.skip_refine:
+        from gslidar_tpu.engine.refine import refine, refine_test
+        if not args.test_only:
+            refine(args)
+        refine_test(args)
+        print("\nRefine complete.")
