@@ -16,16 +16,18 @@ import numpy as np
 
 def _onecycle_lr(step, total, max_lr=1e-3, pct_start=0.3, div=25.0,
                  final_div=1e4):
-    """torch OneCycleLR (cos annealing) equivalent."""
-    import math
+    """torch OneCycleLR (cos annealing) equivalent; traceable (step may be
+    a jax scalar inside optax's schedule)."""
+    import jax.numpy as jnp
+    step = jnp.asarray(step, jnp.float32)
     init_lr = max_lr / div
     min_lr = init_lr / final_div
-    up = int(pct_start * total)
-    if step < up:
-        t = step / max(up, 1)
-        return init_lr + (max_lr - init_lr) * 0.5 * (1 - math.cos(math.pi * t))
-    t = (step - up) / max(total - up, 1)
-    return min_lr + (max_lr - min_lr) * 0.5 * (1 + math.cos(math.pi * t))
+    up = max(int(pct_start * total), 1)
+    t_up = jnp.clip(step / up, 0.0, 1.0)
+    lr_up = init_lr + (max_lr - init_lr) * 0.5 * (1 - jnp.cos(jnp.pi * t_up))
+    t_dn = jnp.clip((step - up) / max(total - up, 1), 0.0, 1.0)
+    lr_dn = min_lr + (max_lr - min_lr) * 0.5 * (1 + jnp.cos(jnp.pi * t_dn))
+    return jnp.where(step < up, lr_up, lr_dn)
 
 
 def refine(args):

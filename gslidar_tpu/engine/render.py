@@ -83,7 +83,9 @@ def render(params: G.Params, alive: jnp.ndarray, viewmat, campos, timestamp,
     S = features.shape[-1]
     rendered_other = out.feature[:S]
     normal = out.feature[S:S + 3]
-    normal = normal / (jnp.linalg.norm(normal, axis=0, keepdims=True) + 1e-8)
+    # sqrt(sum+eps) keeps the gradient finite on zero-coverage pixels
+    normal = normal / jnp.sqrt(
+        jnp.sum(normal * normal, axis=0, keepdims=True) + 1e-16)
 
     if use_prior and prior_param is not None:
         w = prior_param.shape[-1] // 2

@@ -67,8 +67,7 @@ def make_train_step(args, cfg: G.GaussianConfig, settings: RasterSettings,
     median_depth = bool(args.get("median_depth", False))
     sf = float(args.scale_factor)
 
-    @functools.partial(jax.jit, static_argnames=("apply_update",),
-                       donate_argnums=(0,))
+    @functools.partial(jax.jit, static_argnames=("apply_update",))
     def train_step(state: TrainState, cam: CameraBatch, iteration,
                    sh_degree, time_shift, stats_on, apply_update: bool = True):
         cap = state.aux.alive.shape[0]

@@ -84,7 +84,7 @@ def get_scaling_t(params: Params) -> jnp.ndarray:
 
 def get_rotation(params: Params) -> jnp.ndarray:
     q = params["rotation"]
-    return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    return q / jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-24)
 
 
 def get_opacity(params: Params) -> jnp.ndarray:
@@ -220,9 +220,11 @@ def num_alive(aux: GaussianAux):
 def grow_capacity(params: Params, aux: GaussianAux, opt_state: Any,
                   new_cap: int):
     """Host-side capacity doubling (outside jit; triggers one recompile)."""
+    old_cap = aux.alive.shape[0]
+
     def pad_leaf(x):
         x = np.asarray(x)
-        if x.ndim == 0 or x.shape[0] != aux.alive.shape[0]:
+        if x.ndim == 0 or x.shape[0] != old_cap:
             return jnp.asarray(x)
         out = np.zeros((new_cap,) + x.shape[1:], x.dtype)
         out[: x.shape[0]] = x

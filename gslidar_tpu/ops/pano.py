@@ -98,7 +98,7 @@ def depth_to_normal(range_image: jnp.ndarray, vfov, hfov) -> jnp.ndarray:
     dxv = points[:, 2:, 1:-1] - points[:, :-2, 1:-1]
     dyv = points[:, 1:-1, 2:] - points[:, 1:-1, :-2]
     n = jnp.cross(dxv, dyv, axis=0)
-    n = n / (jnp.linalg.norm(n, axis=0, keepdims=True) + 1e-12)
+    n = n / jnp.sqrt(jnp.sum(n * n, axis=0, keepdims=True) + 1e-24)
     out = jnp.zeros_like(points)
     return out.at[:, 1:-1, 1:-1].set(n)
 

@@ -31,7 +31,9 @@ def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
     Normalizes internally (reference auxiliary.h:206-228; quaternion scalar
     part is stored first, scene/gaussian_model.py uses the same layout).
     """
-    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    # norm clamp: capacity-padded dead slots carry zero quaternions; they
+    # must stay finite (0 * NaN poisons masked compositing sums)
+    q = q / jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-24)
     w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
     return jnp.stack([
         jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], -1),
@@ -107,7 +109,7 @@ def preprocess(means3D, scales, quats, opacity, shs, mask, viewmat, campos,
     x, y, z = p_cam[:, 0], p_cam[:, 1], p_cam[:, 2]
     phi = jnp.arctan2(x, z)
     theta = jnp.arctan2(jnp.sqrt(x * x + z * z), -y)
-    r = jnp.linalg.norm(p_cam, axis=-1)
+    r = jnp.sqrt(jnp.sum(p_cam * p_cam, axis=-1) + 1e-24)
 
     # panoramic frustum cull (auxiliary.h:182-204)
     center_v = 0.5 * (VFOV_max + VFOV_min)
@@ -162,7 +164,8 @@ def preprocess(means3D, scales, quats, opacity, shs, mask, viewmat, campos,
         color = colors_precomp
     else:
         dirs = means3D - campos[None, :]
-        dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
+        dirs = dirs / jnp.sqrt(jnp.sum(dirs * dirs, axis=-1, keepdims=True)
+                               + 1e-24)
         color, _ = eval_sh(sh_degree, shs, dirs)
 
     return PreprocessOut(

@@ -1,0 +1,168 @@
+"""Gaussian model, optimizer, and densification tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gslidar_tpu.models import gaussians as G
+from gslidar_tpu.models.densify import (add_densification_stats,
+                                        densify_and_prune, reset_opacity)
+from gslidar_tpu.models.optim import adam_step, init_adam
+from gslidar_tpu.models.raydrop_prior import (PriorAdam, init_raydrop_prior,
+                                              raydrop_prior_forward,
+                                              raydrop_prior_upscale)
+
+
+def make_model(rng, n=100, cap=256, random_init=0):
+    cfg = G.GaussianConfig(random_init_point=random_init, t_grad=True,
+                           no_time_split=True)
+    pts = rng.normal(size=(n, 3)).astype(np.float32) * 5
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    times = rng.uniform(-0.5, 0.5, (n, 1)).astype(np.float32)
+    params, aux = G.create_from_pcd(pts, colors, times, cfg, capacity=cap)
+    return cfg, params, aux
+
+
+def test_create_from_pcd_shapes(rng):
+    cfg, params, aux = make_model(rng)
+    assert params["xyz"].shape == (256, 3)
+    assert params["f_dc"].shape == (256, 1, 4)
+    assert params["f_rest"].shape == (256, 15, 4)
+    assert int(aux.alive.sum()) == 100
+    # init opacity 0.05 (sigmoid of logit)
+    assert np.allclose(np.asarray(G.get_opacity(params))[:100], 0.05, atol=1e-5)
+
+
+def test_random_init_points(rng):
+    cfg, params, aux = make_model(rng, n=50, cap=512, random_init=100)
+    # 50 base + 100 sphere + 100 box
+    assert int(aux.alive.sum()) == 250
+
+
+def test_shm_dynamics(rng):
+    cfg, params, aux = make_model(rng)
+    x0 = G.get_xyz_shm(params, params["t"], cfg)   # at t = t0: sin(0) = 0
+    np.testing.assert_allclose(np.asarray(x0), np.asarray(params["xyz"]),
+                               atol=1e-6)
+    m = G.get_marginal_t(params, params["t"])
+    np.testing.assert_allclose(np.asarray(m)[:100], 1.0, atol=1e-6)
+
+
+def test_adam_matches_torch_reference(rng):
+    """One manual Adam step vs torch.optim.Adam(eps=1e-15)."""
+    import torch
+    cfg, params, aux = make_model(rng)
+    grads = {k: jnp.asarray(rng.normal(size=v.shape).astype(np.float32))
+             for k, v in params.items()}
+    lrs = {k: 0.01 for k in params}
+    state = init_adam(params)
+    new_p, _ = adam_step(params, grads, state, lrs)
+
+    k = "xyz"
+    tp = torch.nn.Parameter(torch.from_numpy(np.asarray(params[k])).clone())
+    opt = torch.optim.Adam([tp], lr=0.01, eps=1e-15)
+    tp.grad = torch.from_numpy(np.asarray(grads[k])).clone()
+    opt.step()
+    np.testing.assert_allclose(np.asarray(new_p[k]), tp.detach().numpy(),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_densify_clone_and_split(rng):
+    cfg, params, aux = make_model(rng, n=100, cap=1024)
+    # make everything "visible" with large gradients
+    aux = aux.replace(
+        max_radii2D=jnp.where(aux.alive, 5.0, 0.0),
+        xyz_gradient_accum=jnp.where(aux.alive, 1.0, 0.0),
+        denom=jnp.where(aux.alive, 1.0, 0.0))
+    opt = init_adam(params)
+    out = densify_and_prune(params, aux, opt, jax.random.PRNGKey(0), cfg,
+                            max_grad=1e-4, max_grad_t=2e-3,
+                            min_opacity=0.005, extent=1.0,
+                            size_threshold=None)
+    n0 = 100
+    n1 = int(out.n_alive)
+    assert n1 > n0, "densification must add points"
+    # accumulators reset
+    assert float(out.aux.denom.sum()) == 0.0
+    assert float(out.aux.max_radii2D.sum()) == 0.0
+
+
+def test_densify_prunes_invisible(rng):
+    cfg, params, aux = make_model(rng, n=100, cap=256)
+    # no radii updates -> all pruned (reference radii<0.707 prune)
+    opt = init_adam(params)
+    out = densify_and_prune(params, aux, opt, jax.random.PRNGKey(0), cfg,
+                            max_grad=1e9, max_grad_t=1e9,
+                            min_opacity=0.005, extent=1.0,
+                            size_threshold=None)
+    assert int(out.n_alive) == 0
+
+
+def test_densify_opacity_prune(rng):
+    cfg, params, aux = make_model(rng, n=100, cap=256)
+    aux = aux.replace(max_radii2D=jnp.where(aux.alive, 5.0, 0.0))
+    low = dict(params)
+    low["opacity"] = jnp.full_like(params["opacity"], -10.0)  # sigmoid ~ 0
+    out = densify_and_prune(low, aux, init_adam(low), jax.random.PRNGKey(0),
+                            cfg, max_grad=1e9, max_grad_t=1e9,
+                            min_opacity=0.005, extent=1.0, size_threshold=None)
+    assert int(out.n_alive) == 0
+
+
+def test_reset_opacity(rng):
+    cfg, params, aux = make_model(rng)
+    params = dict(params)
+    params["opacity"] = jnp.full_like(params["opacity"], 3.0)  # sigmoid ~ 0.95
+    opt = init_adam(params)
+    opt = opt._replace(mu={**opt.mu, "opacity": jnp.ones_like(params["opacity"])})
+    new_p, new_opt = reset_opacity(params, opt, cfg)
+    assert np.allclose(np.asarray(G.get_opacity(new_p)), cfg.init_opacity,
+                       atol=1e-5)
+    assert float(jnp.abs(new_opt.mu["opacity"]).sum()) == 0.0
+
+
+def test_stats_accumulation(rng):
+    cfg, params, aux = make_model(rng)
+    cap = aux.alive.shape[0]
+    vs = jnp.ones((cap, 2))
+    tg = jnp.ones((cap, 1)) * 0.5
+    radii = jnp.full((cap,), 3.0)
+    vis = aux.alive
+    aux2 = add_densification_stats(aux, vs, tg, radii, vis)
+    assert float(aux2.denom[0]) == 1.0
+    assert np.isclose(float(aux2.xyz_gradient_accum[0]), np.sqrt(2))
+    assert float(aux2.t_gradient_accum[0]) == 0.5
+    assert float(aux2.max_radii2D[0]) == 3.0
+    # invisible slots untouched
+    assert float(aux2.denom[-1]) == 0.0
+
+
+def test_raydrop_prior_roundtrip():
+    p = init_raydrop_prior(8, 16)
+    f = raydrop_prior_forward(p, "forward")
+    b = raydrop_prior_forward(p, "backward")
+    assert f.shape == (1, 8, 16) and b.shape == (1, 8, 16)
+    np.testing.assert_allclose(np.asarray(f), 0.1, atol=1e-6)
+    up = raydrop_prior_upscale(p, 16, 32)
+    assert up.shape == (1, 16, 64)
+    np.testing.assert_allclose(np.asarray(jax.nn.sigmoid(up)), 0.1, atol=1e-5)
+
+
+def test_prior_adam_moves_param():
+    p = init_raydrop_prior(4, 8)
+    st = PriorAdam.init(p)
+    g = jnp.ones_like(p)
+    p2, st2 = PriorAdam.step(p, g, st, 0.1)
+    assert float(jnp.max(jnp.abs(p2 - p))) > 0
+
+
+def test_grow_capacity(rng):
+    cfg, params, aux = make_model(rng, n=100, cap=256)
+    opt = init_adam(params)
+    p2, a2, o2 = G.grow_capacity(params, aux, opt, 512)
+    assert p2["xyz"].shape == (512, 3)
+    assert a2.alive.shape == (512,)
+    assert o2.mu["xyz"].shape == (512, 3)
+    assert int(a2.alive.sum()) == 100
+    np.testing.assert_allclose(np.asarray(p2["xyz"][:256]),
+                               np.asarray(params["xyz"]))
