@@ -210,7 +210,9 @@ def composite(binning: Binning, prep: PreprocessOut, features: jnp.ndarray,
         # median depth: last accepted contribution with T_before > 0.5
         # (forward.cu:458-462); contributor index counts every in-range
         # instance, matching the CUDA contributor++ (forward.cu:395)
-        pos1 = (pos + 1).astype(dt)[:, :, None]
+        # contributor index counts within the tile's range (1-based),
+        # matching the CUDA contributor++ (forward.cu:395)
+        pos1 = (pos - tile_starts[:, None] + 1).astype(dt)[:, :, None]
         med_mask = accept & (T_before > 0.5)
         med_score = jnp.where(med_mask, pos1, 0.0)
         best = jnp.argmax(med_score, axis=1)                       # [t, pix]

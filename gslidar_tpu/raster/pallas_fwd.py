@@ -1,0 +1,365 @@
+"""Pallas TPU forward compositing kernel (loop-free formulation).
+
+Replaces the XLA scan compositor (composite.py) on the hot path. Design
+constraints discovered on this TPU stack: in-kernel ``lax.fori_loop`` /
+``while_loop`` make the Mosaic compiler pathologically slow, and dynamic
+lane indexing is unsupported — so the kernel contains NO loops at all:
+
+* the (tile, chunk) iteration is the 2-D pallas GRID; per-tile chunk
+  offsets come from scalar-prefetched, CHUNK-aligned segment starts and
+  feed the input-block index map, so the pallas pipeline does all the
+  DMA/double-buffering;
+* per-tile compositing state (transmittance, channel accumulators,
+  distortion moments, median bookkeeping) lives in VMEM scratch that
+  persists across grid steps; it is reset when chunk==0 and flushed to
+  the output blocks at the last chunk;
+* within a chunk the CUDA per-instance walk (forward.cu:392-484) is
+  vectorized: instances live on the SUBLANE axis, pixels on lanes, and
+  the front-to-back transmittance is an inclusive prefix-product computed
+  with log2(CHUNK) masked sublane rolls — the alpha-compositing
+  recurrence is associative, so this is exact, not an approximation;
+* chunks whose tile is already opaque (all pixels below the 1e-4
+  transmittance floor, forward.cu:441-446) skip all compute behind a
+  single predicate — the early-out the CUDA kernel gets from
+  __syncthreads_count.
+
+Data layout: instances are re-packed per chunk as [n_chunks, D_PAD, CHUNK]
+(fields on sublanes, instances on lanes) so a block fetch is one aligned
+row and no in-kernel transposes are needed.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gslidar_tpu.raster.binning import Binning, _segment_broadcast_i32
+from gslidar_tpu.raster.settings import (ALPHA_EPS, FAR_N, FILTER_INV_SQUARE,
+                                         MAX_ALPHA, NEAR_N, RasterSettings,
+                                         T_STOP)
+
+CHUNK = 128          # instances per grid step (= lane width)
+_NR = [1]            # rows in the current chunk table (for index clamping)
+D_PAD = 24           # padded field count (D = 20 + C + S; 22 for C=4, S=4)
+
+# field indices in the packed row (see composite_pallas packing)
+_F_CX = 9
+_F_CY = 10
+_F_RC = 11
+_F_N0 = 12           # 12..14 normal
+_F_OPA = 15
+_F_COL = 16          # 16..16+C colors, then S features
+
+
+def _prefix_mul(x, n):
+    """Inclusive prefix product along the sublane (instance) axis."""
+    sub = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    sh = 1
+    while sh < n:
+        rolled = pltpu.roll(x, sh, 0)
+        x = x * jnp.where(sub >= sh, rolled, 1.0)
+        sh *= 2
+    return x
+
+
+def _prefix_sum(x, n):
+    """Inclusive prefix sum along the sublane (instance) axis."""
+    sub = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    sh = 1
+    while sh < n:
+        rolled = pltpu.roll(x, sh, 0)
+        x = x + jnp.where(sub >= sh, rolled, 0.0)
+        sh *= 2
+    return x
+
+
+def _kernel(start_chunks_ref, counts_ref,   # scalar prefetch [n_tiles]
+            chunk_ref,                      # VMEM block [1, D_PAD, CHUNK]
+            params_ref,                     # SMEM [8]
+            color_ref, feat_ref, depth_ref, misc_ref,   # out blocks
+            state_ref,                      # VMEM scratch [NSC, 1, pix]
+            *, settings: RasterSettings, C: int, S: int, n_chunks: int):
+    t = pl.program_id(0)
+    c = pl.program_id(1)
+    th, tw = settings.tile_h, settings.tile_w
+    pix = th * tw
+    NSC = 11 + C + S + 3
+
+    near = params_ref[0]
+    far = params_ref[1]
+    VFOV_min, VFOV_max = params_ref[2], params_ref[3]
+    HFOV_min, HFOV_max = params_ref[4], params_ref[5]
+    H, W = settings.height, settings.width
+
+    count = counts_ref[t]
+    trip = (count + CHUNK - 1) // CHUNK
+
+    # pixel coords/trig as [1, pix] rows (pixels on lanes)
+    ty = t // settings.tiles_x
+    tx = jax.lax.rem(t, settings.tiles_x)
+    pix_i = jax.lax.broadcasted_iota(jnp.int32, (1, pix), 1)
+    py = (ty * th + pix_i // tw).astype(jnp.float32)
+    px = (tx * tw + jax.lax.rem(pix_i, tw)).astype(jnp.float32)
+    inside = (px < W) & (py < H)
+    phi = px * (HFOV_max - HFOV_min) / W + HFOV_min
+    theta = py * (VFOV_max - VFOV_min) / H + VFOV_min
+    sp, cp = jnp.sin(phi), jnp.cos(phi)
+    st, ct = jnp.sin(theta), jnp.cos(theta)
+
+    @pl.when(c == 0)
+    def _():
+        state_ref[0] = jnp.where(inside, 1.0, 0.0)       # T
+        for i in range(1, NSC):
+            state_ref[i] = jnp.zeros((1, pix), jnp.float32)
+
+    T_carry = state_ref[0]
+    active = (c < trip) & (jnp.max(T_carry) >= T_STOP)
+
+    @pl.when(active)
+    def _():
+        # one transpose per chunk: [D_PAD, CHUNK] -> [CHUNK, D_PAD] so
+        # per-instance fields are sublane columns
+        data = chunk_ref[0].T                            # [CHUNK, D_PAD]
+
+        def row(f):
+            return data[:, f:f + 1]                      # [CHUNK, 1]
+
+        Tux, Tuy, Tuz = row(0), row(1), row(2)
+        Tvx, Tvy, Tvz = row(3), row(4), row(5)
+        Twx, Twy, Twz = row(6), row(7), row(8)
+        cx, cy = row(_F_CX), row(_F_CY)
+        r_c = row(_F_RC)
+        opa = row(_F_OPA)
+
+        # ray-splat intersection (forward.cu:404-424): [pix, CHUNK] outer
+        # products of per-pixel columns and per-instance rows
+        kx = cp * Tux - sp * Twx
+        ky = cp * Tuy - sp * Twy
+        kz = cp * Tuz - sp * Twz
+        lx = sp * ct * Tux + st * Tvx + cp * ct * Twx
+        ly = sp * ct * Tuy + st * Tvy + cp * ct * Twy
+        lz = sp * ct * Tuz + st * Tvz + cp * ct * Twz
+        p1 = ky * lz - kz * ly
+        p2 = kz * lx - kx * lz
+        p3 = kx * ly - ky * lx
+        p3ok = p3 != 0.0
+        p3s = jnp.where(p3ok, p3, 1.0)
+        s1 = p1 / p3s
+        s2 = p2 / p3s
+        rho3d = s1 * s1 + s2 * s2
+        dxp = cx - px
+        dyp = cy - py
+        rho2d = FILTER_INV_SQUARE * (dxp * dxp + dyp * dyp)
+        use3d = rho3d <= rho2d
+        rho = jnp.minimum(rho3d, rho2d)
+        sTu = s1 * Tux + s2 * Tuy + Tuz
+        sTv = s1 * Tvx + s2 * Tvy + Tvz
+        sTw = s1 * Twx + s2 * Twy + Twz
+        depth3d = sTu * st * sp - sTv * ct + sTw * st * cp
+        depth = jnp.where(use3d, depth3d, r_c)
+        alpha = jnp.minimum(MAX_ALPHA, opa * jnp.exp(-0.5 * rho))
+        inst = jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 0)
+        in_cnt = inst < (count - c * CHUNK)
+        ok = (in_cnt & p3ok & (depth >= near) & (depth <= far)
+              & (alpha >= ALPHA_EPS))
+        a = jnp.where(ok, alpha, 0.0)
+        d_safe = jnp.where(ok, depth, far)
+
+        one_m = 1.0 - a
+        incl = _prefix_mul(one_m, CHUNK)                 # [CHUNK, pix]
+        T_before = T_carry * (incl / one_m)              # exclusive * carry
+        test_T = T_before * one_m
+        accept = ok & (test_T >= T_STOP)
+        w = jnp.where(accept, a * T_before, 0.0)
+
+        for ci in range(C):
+            state_ref[11 + ci] = state_ref[11 + ci] + jnp.sum(
+                w * row(_F_COL + ci), axis=0, keepdims=True)
+        for si in range(S):
+            state_ref[11 + C + si] = state_ref[11 + C + si] + jnp.sum(
+                w * row(_F_COL + C + si), axis=0, keepdims=True)
+        for ni in range(3):
+            state_ref[11 + C + S + ni] = state_ref[11 + C + S + ni] + jnp.sum(
+                w * row(_F_N0 + ni), axis=0, keepdims=True)
+
+        state_ref[1] = state_ref[1] + jnp.sum(d_safe * w, 0, keepdims=True)
+        state_ref[2] = state_ref[2] + jnp.sum(d_safe * d_safe * w, 0,
+                                              keepdims=True)
+
+        # distortion running moments (forward.cu:450-456)
+        m = far / (far - near) * (1.0 - near / d_safe)
+        mw = m * w
+        m2w = m * m * w
+        M1_b = state_ref[4] + _prefix_sum(mw, CHUNK) - mw
+        M2_b = state_ref[5] + _prefix_sum(m2w, CHUNK) - m2w
+        A_b = 1.0 - T_before
+        state_ref[3] = state_ref[3] + jnp.sum(
+            (m * m * A_b + M2_b - 2.0 * m * M1_b) * w, 0, keepdims=True)
+        state_ref[4] = state_ref[4] + jnp.sum(mw, 0, keepdims=True)
+        state_ref[5] = state_ref[5] + jnp.sum(m2w, 0, keepdims=True)
+
+        # median depth: LAST accepted contribution with T_before > 0.5
+        # (forward.cu:458-462); positions are exact in f32 (< 2^24)
+        pos1 = (c * CHUNK + 1 + inst).astype(jnp.float32)
+        med_mask = accept & (T_before > 0.5)
+        score = jnp.where(med_mask, pos1, 0.0)
+        best = jnp.max(score, axis=0, keepdims=True)
+        best_d = jnp.max(jnp.where(score == best, d_safe, -jnp.inf),
+                         axis=0, keepdims=True)
+        upd = (best > state_ref[7]) & (best > 0)
+        state_ref[6] = jnp.where(upd, best_d, state_ref[6])
+        state_ref[7] = jnp.maximum(state_ref[7], best)
+
+        nc = jnp.where(accept, pos1, 0.0)
+        state_ref[8] = jnp.maximum(state_ref[8], jnp.max(nc, 0, keepdims=True))
+
+        state_ref[0] = T_carry * incl[CHUNK - 1:CHUNK, :]
+
+    @pl.when(c == n_chunks - 1)
+    def _():
+        for ci in range(C):
+            color_ref[0, ci] = state_ref[11 + ci]
+        for i in range(S + 3):
+            feat_ref[0, i] = state_ref[11 + C + i]
+        depth_ref[0, 0] = state_ref[1]
+        depth_ref[0, 1] = state_ref[6]
+        depth_ref[0, 2] = state_ref[3]
+        depth_ref[0, 3] = state_ref[2]
+        misc_ref[0, 0] = jnp.where(inside, state_ref[0], 1.0)
+        misc_ref[0, 1] = state_ref[8]
+        misc_ref[0, 2] = state_ref[7]
+
+
+class PallasTiles(NamedTuple):
+    color: jnp.ndarray    # [n_tiles, C, th, tw]
+    feature: jnp.ndarray
+    depth: jnp.ndarray
+    misc: jnp.ndarray     # final_T, n_contrib, med_pos
+
+
+def chunk_layout(binning: Binning, packed: jnp.ndarray,
+                 settings: RasterSettings):
+    """Re-pack sorted instances as [n_chunk_rows, D_PAD, CHUNK] with every
+    tile's segment starting on a chunk boundary. Returns
+    (data, start_chunks [n_tiles], counts [n_tiles])."""
+    K = binning.gid_sorted.shape[0]
+    n_tiles = settings.num_tiles
+    D = packed.shape[-1]
+    assert D <= D_PAD
+
+    counts = (binning.tile_starts[1:] - binning.tile_starts[:-1]).astype(jnp.int32)
+    padded_counts = ((counts + CHUNK - 1) // CHUNK) * CHUNK
+    pad_starts = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32),
+         jnp.cumsum(padded_counts).astype(jnp.int32)])
+    n_chunk_rows = (K + n_tiles * CHUNK) // CHUNK        # static cap
+
+    slot_start = _segment_broadcast_i32(binning.tile_starts[:-1],
+                                        binning.tile_starts[:-1], K)
+    slot_pad_start = _segment_broadcast_i32(pad_starts[:-1],
+                                            binning.tile_starts[:-1], K)
+    new_pos = slot_pad_start + (jnp.arange(K, dtype=jnp.int32) - slot_start)
+    in_range = jnp.arange(K) < binning.tile_starts[-1]
+    new_pos = jnp.where(in_range, new_pos, n_chunk_rows * CHUNK)
+
+    gid_padded = jnp.full(n_chunk_rows * CHUNK, packed.shape[0], jnp.int32)
+    gid_padded = gid_padded.at[new_pos].set(binning.gid_sorted, mode="drop")
+    packed0 = jnp.concatenate([packed, jnp.zeros((1, D), packed.dtype)], 0)
+    rows = packed0[gid_padded]                           # [n*CHUNK, D]
+    if D < D_PAD:
+        rows = jnp.pad(rows, ((0, 0), (0, D_PAD - D)))
+    data = rows.reshape(n_chunk_rows, CHUNK, D_PAD).transpose(0, 2, 1)
+    return data, (pad_starts[:-1] // CHUNK).astype(jnp.int32), counts
+
+
+def composite_pallas_tiles(binning: Binning, packed: jnp.ndarray,
+                           scale_factor, settings: RasterSettings,
+                           S: int, C: int = 4) -> PallasTiles:
+    th, tw = settings.tile_h, settings.tile_w
+    pix = th * tw
+    n_tiles = settings.num_tiles
+    n_chunks = max(settings.tile_list_cap // CHUNK, 1)
+
+    data, start_chunks, counts = chunk_layout(binning, packed, settings)
+    _NR[0] = data.shape[0]
+
+    VFOV_min, VFOV_max, HFOV_min, HFOV_max = settings.angle_bounds
+    params = jnp.asarray([NEAR_N * scale_factor, FAR_N * scale_factor,
+                          VFOV_min, VFOV_max, HFOV_min, HFOV_max, 0.0, 0.0],
+                         jnp.float32)
+
+    NSC = 11 + C + S + 3
+    kernel = functools.partial(_kernel, settings=settings, C=C, S=S,
+                               n_chunks=n_chunks)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, D_PAD, CHUNK),
+                         lambda t, c, starts, cnts, n_rows=None: (
+                             jnp.minimum(starts[t] + c, _NR[0] - 1), 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, C, 1, pix), lambda t, c, *_: (t, 0, 0, 0)),
+            pl.BlockSpec((1, S + 3, 1, pix), lambda t, c, *_: (t, 0, 0, 0)),
+            pl.BlockSpec((1, 4, 1, pix), lambda t, c, *_: (t, 0, 0, 0)),
+            pl.BlockSpec((1, 3, 1, pix), lambda t, c, *_: (t, 0, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NSC, 1, pix), jnp.float32),
+        ],
+    )
+    color, feat, depth, misc = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, C, 1, pix), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, S + 3, 1, pix), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 4, 1, pix), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 3, 1, pix), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+    )(start_chunks, counts, data, params)
+    return PallasTiles(color=color, feature=feat, depth=depth, misc=misc)
+
+
+def _untile4(x: jnp.ndarray, settings: RasterSettings) -> jnp.ndarray:
+    """[n_tiles, C, 1, pix] -> [C, H, W]."""
+    C = x.shape[1]
+    x = x.reshape(settings.tiles_y, settings.tiles_x, C,
+                  settings.tile_h, settings.tile_w)
+    x = x.transpose(2, 0, 3, 1, 4).reshape(
+        C, settings.tiles_y * settings.tile_h,
+        settings.tiles_x * settings.tile_w)
+    return x[:, :settings.height, :settings.width]
+
+
+def composite_pallas(binning: Binning, prep, features, opacity, bg,
+                     scale_factor, settings: RasterSettings):
+    """Drop-in forward replacement for composite.composite (no grad)."""
+    from gslidar_tpu.raster.composite import TileImages
+    Tcols = prep.T.transpose(0, 2, 1).reshape(-1, 9)
+    packed = jnp.concatenate([
+        Tcols, prep.xy, prep.depth[:, None], prep.normal,
+        opacity[:, None], prep.color, features], axis=1)
+    S = features.shape[-1]
+    C = prep.color.shape[-1]
+    tiles = composite_pallas_tiles(binning, packed, scale_factor, settings,
+                                   S=S, C=C)
+    T_fin = tiles.misc[:, 0:1]
+    color = tiles.color + T_fin * bg[None, :, None, None]
+    return TileImages(
+        color=_untile4(color, settings),
+        feature=_untile4(tiles.feature, settings),
+        depth=_untile4(tiles.depth, settings),
+        alpha=_untile4(1.0 - T_fin, settings),
+        contrib=_untile4(tiles.misc[:, 1:3], settings),
+        final_T=_untile4(T_fin, settings),
+    )

@@ -61,8 +61,13 @@ def rasterize(means3D, scales, rotations, opacity, shs, features, mask,
     if features is None or features.shape[-1] == 0:
         features = jnp.zeros((means3D.shape[0], 0), means3D.dtype)
 
-    tiles = composite(binning, prep, features, opacity, bg, scale_factor,
-                      settings)
+    if settings.backend == "pallas":
+        from gslidar_tpu.raster.pallas_fwd import composite_pallas
+        tiles = composite_pallas(binning, prep, features, opacity, bg,
+                                 scale_factor, settings)
+    else:
+        tiles = composite(binning, prep, features, opacity, bg, scale_factor,
+                          settings)
     return RasterOut(
         color=tiles.color, feature=tiles.feature, depth=tiles.depth,
         alpha=tiles.alpha, contrib=tiles.contrib, final_T=tiles.final_T,

@@ -39,6 +39,8 @@ class RasterSettings:
     tile_chunk: int = 64          # instances composited per scan step
     tile_list_cap: int = 4096     # max instances composited per tile
     max_tiles_per_gaussian: int = 0  # 0 = unlimited (clamped to grid size)
+    backend: str = "xla"          # compositor: "xla" (differentiable) or
+                                  # "pallas" (fast forward kernel)
 
     def __post_init__(self):
         object.__setattr__(self, "vfov", tuple(float(v) for v in self.vfov))
