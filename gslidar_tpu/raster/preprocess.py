@@ -107,8 +107,13 @@ def preprocess(means3D, scales, quats, opacity, shs, mask, viewmat, campos,
     T, normal = build_transmat(means3D, scales, quats, viewmat, scale_modifier)
     p_cam = T[:, 2, :]
     x, y, z = p_cam[:, 0], p_cam[:, 1], p_cam[:, 2]
-    phi = jnp.arctan2(x, z)
-    theta = jnp.arctan2(jnp.sqrt(x * x + z * z), -y)
+    # guard atan2(0,0)/sqrt(0) NaN gradients for points exactly at the
+    # camera origin (dead capacity slots under an identity viewmat)
+    degen = (x * x + z * z) < 1e-20
+    x_s = jnp.where(degen, 0.0, x)
+    z_s = jnp.where(degen, 1.0, z)
+    phi = jnp.arctan2(x_s, z_s)
+    theta = jnp.arctan2(jnp.sqrt(x_s * x_s + z_s * z_s), -y)
     r = jnp.sqrt(jnp.sum(p_cam * p_cam, axis=-1) + 1e-24)
 
     # panoramic frustum cull (auxiliary.h:182-204)
@@ -130,9 +135,11 @@ def preprocess(means3D, scales, quats, opacity, shs, mask, viewmat, campos,
     sample = (cutoff[:, None, None] * (sa[None, :, None] * T[:, None, 0, :]
                                        + ca[None, :, None] * T[:, None, 1, :])
               + p_cam[:, None, :])                       # [P, 12, 3]
-    s_phi = jnp.arctan2(sample[..., 0], sample[..., 2])
-    s_theta = jnp.arctan2(jnp.sqrt(sample[..., 0] ** 2 + sample[..., 2] ** 2),
-                          -sample[..., 1])
+    s_degen = (sample[..., 0] ** 2 + sample[..., 2] ** 2) < 1e-20
+    s_x = jnp.where(s_degen, 0.0, sample[..., 0])
+    s_z = jnp.where(s_degen, 1.0, sample[..., 2])
+    s_phi = jnp.arctan2(s_x, s_z)
+    s_theta = jnp.arctan2(jnp.sqrt(s_x * s_x + s_z * s_z), -sample[..., 1])
     sx_pix = (s_phi - HFOV_min) * W / (HFOV_max - HFOV_min)
     sy_pix = (s_theta - VFOV_min) * H / (VFOV_max - VFOV_min)
 

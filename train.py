@@ -88,6 +88,9 @@ def training(args):
     vis_path = os.path.join(args.model_path, "visualization")
     os.makedirs(vis_path, exist_ok=True)
 
+    from tensorboardX import SummaryWriter
+    tb_writer = SummaryWriter(os.path.join(args.model_path, "tb"))
+
     scene = build_scene(args)
     with open(os.path.join(args.model_path, "scale_factor.txt"), "w") as f:
         f.write(str(args.scale_factor))
@@ -133,7 +136,32 @@ def training(args):
     ema = {}
     t_start = time.time()
 
+    # live viewer (reference train.py:90-148 wires a viser server; here an
+    # http orbit viewer shares the chip via the checkin/checkout lock)
+    from gslidar_tpu.engine.viewer import VisManager
+    from gslidar_tpu.utils.general import visualize_depth as _vd
+
+    def _viewer_render(c2w, frame):
+        from gslidar_tpu.engine.train import CameraBatch
+        w2c = np.linalg.inv(c2w).astype(np.float32)
+        ts = -0.5 + frame / max(args.frames - 1, 1)
+        cam_v = CameraBatch(
+            viewmat=jnp.asarray(w2c), campos=jnp.asarray(c2w[:3, 3], jnp.float32),
+            timestamp=jnp.asarray(ts, jnp.float32),
+            towards_idx=jnp.asarray(0, jnp.int32),
+            pts_depth=jnp.zeros((1, 1, 1)), pts_intensity=jnp.zeros((1, 1, 1)))
+        pkg = eval_render(state.params, state.aux.alive, state.prior, cam_v,
+                          jnp.asarray(args.sh_degree, jnp.int32))
+        return _vd(np.asarray(pkg.depth), scale_factor=args.scale_factor)
+
+    vis_mgr = VisManager({"port": int(args.get("viewer_port", 8080)),
+                          "enabled": bool(args.get("viewer", False)),
+                          "max_frame": args.frames,
+                          "pixels_per_step": start_h * start_w},
+                         _viewer_render)
+
     for iteration in range(first_iter + 1, args.iterations + 1):
+        vis_mgr.checkin()
         sh_degree = min(iteration // args.sh_increase_interval, args.sh_degree)
 
         if not viewpoint_stack:
@@ -198,6 +226,14 @@ def training(args):
             rate = iteration / max(time.time() - t_start, 1e-9)
             print(f"[{iteration}/{args.iterations}] loss={ema['loss']:.5f} "
                   f"pts={n_alive} it/s={rate:.2f}", flush=True)
+            # tensorboard (reference train.py:328-335)
+            for k, v in log.items():
+                tb_writer.add_scalar(f"TrainLoss/{k}", float(v), iteration)
+            tb_writer.add_scalar("total_points", n_alive, iteration)
+            if "loss_lidar" in log:
+                tb_writer.add_scalars(
+                    "TrainLoss", {f"frame_{cam.name}": float(log['loss_lidar'])},
+                    iteration)
 
         if iteration in args.test_iterations:
             complete_eval(iteration, args, scene, state, sh_degree,
@@ -232,6 +268,9 @@ def training(args):
             save_checkpoint(checkpoint_path(args.model_path, iteration),
                             state, iteration)
 
+        vis_mgr.checkout(iteration)
+
+    tb_writer.close()
     return state, scene
 
 
