@@ -153,11 +153,17 @@ def read_kitti360_info(args) -> SceneInfo:
     lidar_dir = os.path.join(path, "KITTI-360", "data_3d_raw", SEQUENCE_NAME,
                              "velodyne_points", "data")
 
+    from gslidar_tpu.native import get_native
+    nat = get_native()
+
     point_list, points_time, cam_infos = [], [], []
     for frame_idx in range(frames):
         lidar_idx = frame_idx + s_frame
-        raw = np.fromfile(os.path.join(lidar_dir, "%010d.bin" % lidar_idx),
-                          dtype=np.float32).reshape(-1, 4)
+        bin_path = os.path.join(lidar_dir, "%010d.bin" % lidar_idx)
+        if nat is not None:
+            raw = nat.read_velodyne(bin_path)
+        else:
+            raw = np.fromfile(bin_path, dtype=np.float32).reshape(-1, 4)
         intensity = raw[:, 3]
         points = raw[:, :3]
         keep = np.linalg.norm(points, axis=1) > 2.5   # drop ego returns

@@ -112,7 +112,19 @@ def project_points_to_pano(points_cam: np.ndarray, intensity: np.ndarray,
     sort by (pixel, range), keep the nearest return per pixel.
 
     Returns (pts_depth [1,H,W], pts_intensity [1,H,W]) float32 numpy.
+
+    Uses the native C++ z-buffer when available (native/gslidar_native.cpp);
+    the numpy lexsort path below is the portable fallback.
     """
+    from gslidar_tpu.native import get_native
+    nat = get_native()
+    if nat is not None:
+        return nat.project_pano(
+            np.ascontiguousarray(points_cam[:, :3], np.float32),
+            np.ascontiguousarray(intensity, np.float32),
+            int(H), int(W), float(vfov[0]), float(vfov[1]),
+            float(hfov[0]), float(hfov[1]))
+
     x, y, z = points_cam[:, 0], points_cam[:, 1], points_cam[:, 2]
     phi = np.arctan2(x, z)
     theta = np.arctan2(np.sqrt(x ** 2 + z ** 2), -y)

@@ -122,6 +122,7 @@ def _kernel(start_chunks_ref, counts_ref,   # scalar prefetch [n_tiles]
 
     @pl.when(active)
     def _():
+        state_ref[9] = state_ref[9] + 1.0                # chunks processed
         # one transpose per chunk: [D_PAD, CHUNK] -> [CHUNK, D_PAD] so
         # per-instance fields are sublane columns
         data = chunk_ref[0].T                            # [CHUNK, D_PAD]
@@ -233,13 +234,16 @@ def _kernel(start_chunks_ref, counts_ref,   # scalar prefetch [n_tiles]
         misc_ref[0, 0] = jnp.where(inside, state_ref[0], 1.0)
         misc_ref[0, 1] = state_ref[8]
         misc_ref[0, 2] = state_ref[7]
+        misc_ref[0, 3] = state_ref[4]    # M1 total (distortion residual)
+        misc_ref[0, 4] = state_ref[5]    # M2 total
+        misc_ref[0, 5] = state_ref[9]    # chunks processed
 
 
 class PallasTiles(NamedTuple):
     color: jnp.ndarray    # [n_tiles, C, th, tw]
     feature: jnp.ndarray
     depth: jnp.ndarray
-    misc: jnp.ndarray     # final_T, n_contrib, med_pos
+    misc: jnp.ndarray     # final_T, n_contrib, med_pos, M1, M2, chunks_done
 
 
 def chunk_layout(binning: Binning, packed: jnp.ndarray,
@@ -309,7 +313,7 @@ def composite_pallas_tiles(binning: Binning, packed: jnp.ndarray,
             pl.BlockSpec((1, C, 1, pix), lambda t, c, *_: (t, 0, 0, 0)),
             pl.BlockSpec((1, S + 3, 1, pix), lambda t, c, *_: (t, 0, 0, 0)),
             pl.BlockSpec((1, 4, 1, pix), lambda t, c, *_: (t, 0, 0, 0)),
-            pl.BlockSpec((1, 3, 1, pix), lambda t, c, *_: (t, 0, 0, 0)),
+            pl.BlockSpec((1, 6, 1, pix), lambda t, c, *_: (t, 0, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((NSC, 1, pix), jnp.float32),
@@ -322,7 +326,7 @@ def composite_pallas_tiles(binning: Binning, packed: jnp.ndarray,
             jax.ShapeDtypeStruct((n_tiles, C, 1, pix), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, S + 3, 1, pix), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, 4, 1, pix), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 3, 1, pix), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 6, 1, pix), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),

@@ -62,9 +62,9 @@ def rasterize(means3D, scales, rotations, opacity, shs, features, mask,
         features = jnp.zeros((means3D.shape[0], 0), means3D.dtype)
 
     if settings.backend == "pallas":
-        from gslidar_tpu.raster.pallas_fwd import composite_pallas
-        tiles = composite_pallas(binning, prep, features, opacity, bg,
-                                 scale_factor, settings)
+        from gslidar_tpu.raster.pallas_op import composite_pallas_diff
+        tiles = composite_pallas_diff(binning, prep, features, opacity, bg,
+                                      scale_factor, settings)
     else:
         tiles = composite(binning, prep, features, opacity, bg, scale_factor,
                           settings)

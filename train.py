@@ -44,10 +44,20 @@ def build_scene(args):
 
 
 def make_settings(args, h, w):
+    import jax
     from gslidar_tpu.raster.settings import RasterSettings
+    on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+    backend = args.get("raster_backend", "pallas" if on_tpu else "xla")
+    if backend == "pallas":
+        tile_h, tile_w = 8, 64      # VPU-shaped tiles; 8x128 OOMs the bwd
+    else:
+        tile_h, tile_w = 16, 16     # CUDA-parity tiles (config.h:13-14)
     return RasterSettings(
         height=h, width=w, vfov=tuple(args.vfov), hfov=tuple(args.hfov),
         num_extra_features=4,
+        tile_h=int(args.get("raster_tile_h", tile_h)),
+        tile_w=int(args.get("raster_tile_w", tile_w)),
+        backend=backend,
         pair_cap=int(args.get("raster_pair_cap", 1 << 21)),
         tile_chunk=int(args.get("raster_tile_chunk", 64)),
         tile_list_cap=int(args.get("raster_tile_list_cap", 4096)))
