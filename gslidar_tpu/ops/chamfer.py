@@ -21,9 +21,16 @@ import jax
 import jax.numpy as jnp
 
 
-def _one_sided_min_sqdist(a, a_mask, b, b_mask, chunk: int):
-    """For each a[i]: min_j ||a_i - b_j||^2 over valid b. Invalid a -> 0."""
-    M = b.shape[0]
+def _one_sided_min_sqdist(a, a_mask, b, b_mask, chunk: int,
+                          precision=None):
+    """For each a[i]: min_j ||a_i - b_j||^2 over valid b. Invalid a -> 0.
+
+    The |a|^2+|b|^2-2ab expansion only picks the ARGMIN (so it can run at
+    fast/bf16 matmul precision); the distance itself is recomputed exactly
+    from coordinate differences — which also gives exact 2(a-b) gradients
+    (the CUDA backward's formula, chamfer3D.cu:167-196).
+    """
+    precision = precision or jax.lax.Precision.DEFAULT
     bsq = jnp.sum(b * b, axis=-1)
     bsq = jnp.where(b_mask, bsq, jnp.inf)  # invalid b never selected
 
@@ -36,17 +43,19 @@ def _one_sided_min_sqdist(a, a_mask, b, b_mask, chunk: int):
         blk = jax.lax.dynamic_slice_in_dim(a_p, idx * chunk, chunk)
         d2 = (jnp.sum(blk * blk, axis=-1)[:, None] + bsq[None, :]
               - 2.0 * jnp.dot(blk, b.T, preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST))
-        return _, jnp.min(d2, axis=1)
+                              precision=precision))
+        nn = jnp.argmin(d2, axis=1)
+        exact = jnp.sum((blk - b[nn]) ** 2, axis=-1)
+        return _, exact
 
     _, mins = jax.lax.scan(body, None, jnp.arange(n_chunks))
     mins = mins.reshape(-1)[:P]
-    mins = jnp.maximum(mins, 0.0)
     return jnp.where(a_mask, mins, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
-def chamfer_distance(x1, x2, mask1=None, mask2=None, chunk: int = 1024):
+@functools.partial(jax.jit, static_argnames=("chunk", "precision"))
+def chamfer_distance(x1, x2, mask1=None, mask2=None, chunk: int = 1024,
+                     precision=None):
     """Two-sided squared chamfer terms.
 
     Args:
@@ -60,8 +69,8 @@ def chamfer_distance(x1, x2, mask1=None, mask2=None, chunk: int = 1024):
         mask1 = jnp.ones(x1.shape[0], dtype=bool)
     if mask2 is None:
         mask2 = jnp.ones(x2.shape[0], dtype=bool)
-    d1 = _one_sided_min_sqdist(x1, mask1, x2, mask2, chunk)
-    d2 = _one_sided_min_sqdist(x2, mask2, x1, mask1, chunk)
+    d1 = _one_sided_min_sqdist(x1, mask1, x2, mask2, chunk, precision)
+    d2 = _one_sided_min_sqdist(x2, mask2, x1, mask1, chunk, precision)
     n1 = jnp.maximum(jnp.sum(mask1), 1)
     n2 = jnp.maximum(jnp.sum(mask2), 1)
     return d1, d2, jnp.sum(d1) / n1, jnp.sum(d2) / n2

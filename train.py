@@ -170,8 +170,15 @@ def training(args):
                           "pixels_per_step": start_h * start_w},
                          _viewer_render)
 
+    profile_at = int(args.get("profile_iter", 0))   # 0 = disabled
+
     for iteration in range(first_iter + 1, args.iterations + 1):
         vis_mgr.checkin()
+        if profile_at and iteration == profile_at:
+            jax.profiler.start_trace(os.path.join(args.model_path, "profile"))
+        if profile_at and iteration == profile_at + 5:
+            jax.profiler.stop_trace()
+            print(f"[profiler] trace written to {args.model_path}/profile")
         sh_degree = min(iteration // args.sh_increase_interval, args.sh_degree)
 
         if not viewpoint_stack:
