@@ -106,6 +106,14 @@ def complete_eval(iteration, args, scene, state, sh_degree, eval_render,
     scale = scene.resolution_scales[scene.scale_index]
     if not is_final:
         configs = [("test", scene.get_test_cameras(scale=scale))]
+    elif args.scene_type == "KittiMot":
+        # reference train.py:473-478: evaluate only the last fifth of the
+        # train cameras for KittiMot scenes
+        num = len(scene.get_train_cameras()) // 2
+        hold = num // 5
+        tc = sorted(scene.get_train_cameras(), key=lambda x: x.colmap_id)
+        configs = [("test", scene.get_test_cameras(scale=scale)),
+                   ("train", tc[:num][-hold:] + tc[num:][-hold:])]
     else:
         configs = [("test", scene.get_test_cameras(scale=scale)),
                    ("train", scene.get_train_cameras())]

@@ -160,9 +160,11 @@ class PointsMeter:
         gt = np.asarray(truths) / self.scale
         p_pts, p_mask = self._pano_to_points(pred[0])
         g_pts, g_mask = self._pano_to_points(gt[0])
+        import jax
         d1, d2, m1, m2 = chamfer_distance(
             jnp.asarray(p_pts), jnp.asarray(g_pts),
-            mask1=jnp.asarray(p_mask), mask2=jnp.asarray(g_mask))
+            mask1=jnp.asarray(p_mask), mask2=jnp.asarray(g_mask),
+            precision=jax.lax.Precision.HIGHEST)
         f, _, _ = fscore(d1, d2, jnp.asarray(p_mask), jnp.asarray(g_mask))
         self.V.append([float(m1 + m2), float(f)])
 

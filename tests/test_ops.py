@@ -17,8 +17,10 @@ def test_knn3_matches_bruteforce(rng):
 
 
 def test_chamfer_symmetric_zero(rng):
+    import jax
     a = rng.normal(size=(100, 3)).astype(np.float32)
-    d1, d2, m1, m2 = chamfer_distance(jnp.asarray(a), jnp.asarray(a))
+    d1, d2, m1, m2 = chamfer_distance(jnp.asarray(a), jnp.asarray(a),
+                                      precision=jax.lax.Precision.HIGHEST)
     assert float(m1) < 1e-6 and float(m2) < 1e-6
 
 
