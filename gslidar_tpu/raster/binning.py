@@ -61,27 +61,48 @@ def bin_gaussians(rect_min, rect_max, depth, tiles_touched,
     total = jnp.minimum(cum[-1], K)
     offsets = cum - tiles_touched                     # segment starts, [P]
 
-    # per-gaussian integer payloads broadcast to slots without gathers
+    # per-gaussian integer payloads broadcast to slots without gathers.
+    # TPU scatter-add costs ~12ns/ELEMENT, so the six per-slot values are
+    # bit-packed into as few broadcast words as possible:
+    #   w0 = offs * 64 + rw          (offs < 2^24 with rw < 64)
+    #   w1 = gid * grid + rmin_tile  (gid < 2^24, rmin_tile < grid)
+    #   w2 = dq                      (quantized depth, up to 2^depth_bits)
     near = NEAR_N * scale_factor
     far = FAR_N * scale_factor
     dq_max = (1 << depth_bits) - 1
     dnorm = jnp.clip((depth - near) / jnp.maximum(far - near, 1e-12), 0.0, 1.0)
     dq = jnp.minimum((dnorm * float(dq_max)).astype(jnp.int32), dq_max)
 
+    rw = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1).astype(jnp.int32)
+    rmin_tile = (rect_min[:, 1] * settings.tiles_x + rect_min[:, 0]).astype(jnp.int32)
+    # w0 = offs * 128 + rw: needs K <= 2^24 and <= 127 tile columns
+    assert K <= (1 << 24) and settings.tiles_x <= 127, \
+        "pair_cap/grid too large for packed binning words"
+    # w2 = rmin_tile << dq_pack_bits | dq (reduced-precision depth)
+    tile_bits = max(1, n_tiles.bit_length() if isinstance(n_tiles, int)
+                    else 0)
+    dq_pack_bits = 31 - tile_bits
+    dq_p = jnp.minimum(dq >> jnp.maximum(depth_bits - dq_pack_bits, 0),
+                       (1 << min(dq_pack_bits, depth_bits)) - 1)
+    w0 = offsets * 128 + jnp.minimum(rw, 127)
+    w2 = rmin_tile * (1 << dq_pack_bits) + dq_p
+
     slots = jnp.arange(K, dtype=jnp.int32)
+    w0_s = _segment_broadcast_i32(w0, offsets, K)
     gid = _segment_broadcast_i32(jnp.arange(P, dtype=jnp.int32), offsets, K)
-    offs_s = _segment_broadcast_i32(offsets, offsets, K)
-    rminx_s = _segment_broadcast_i32(rect_min[:, 0], offsets, K)
-    rminy_s = _segment_broadcast_i32(rect_min[:, 1], offsets, K)
-    rw_s = _segment_broadcast_i32(
-        jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1), offsets, K)
-    dq_s = _segment_broadcast_i32(dq, offsets, K)
+    w2_s = _segment_broadcast_i32(w2, offsets, K)
+    offs_s = w0_s // 128
+    rw_s = w0_s - offs_s * 128
+    rmin_tile_s = w2_s >> dq_pack_bits
+    dq_s = w2_s - (rmin_tile_s << dq_pack_bits)
+    # re-scale the packed depth to the key's full depth_bits range
+    dq_s = dq_s << jnp.maximum(depth_bits - dq_pack_bits, 0)
 
     j = slots - offs_s
-    ty = rminy_s + j // rw_s
-    tx = rminx_s + j % rw_s
+    dy = j // rw_s
+    tile = rmin_tile_s + dy * settings.tiles_x + (j - dy * rw_s)
     pair_valid = slots < total
-    tile = jnp.where(pair_valid, (ty * settings.tiles_x + tx), n_tiles)
+    tile = jnp.where(pair_valid, tile, n_tiles)
     key = ((tile.astype(jnp.uint32) << jnp.uint32(depth_bits))
            | dq_s.astype(jnp.uint32))
 
