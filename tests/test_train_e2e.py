@@ -1,0 +1,46 @@
+"""Compact end-to-end training test: CLI pipeline on a tiny synthetic
+scene (train -> densify -> eval -> checkpoint -> resume)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_train_cli_end_to_end(tmp_path):
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.expanduser("~/.cache/jax_comp"))
+    out = tmp_path / "run"
+    cmd = [sys.executable, "train.py", "--config",
+           "configs/synthetic_smoke.yaml", "--skip_refine",
+           f"model_path={out}", "iterations=20", "hw=[32,128]",
+           "num_pts=3000", "frames=4", "densify_from_iter=5",
+           "densification_interval=8", "densify_until_iter=18",
+           "test_iterations=[20]", "checkpoint_iterations=[20]",
+           "vis_step=20", "raster_pair_cap=32768",
+           "raster_tile_list_cap=256", "densify_until_num_points=20000"]
+    r = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True,
+                       text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    metrics_path = out / "eval" / "test_20_render" / "metrics.json"
+    assert metrics_path.exists(), r.stdout[-2000:]
+    m = json.loads(metrics_path.read_text())
+    assert "Ray drop" in m and "Point Cloud mix" in m
+    assert (out / "ckpt" / "chkpnt20.npz").exists()
+    assert (out / "scale_factor.txt").exists()
+
+    # resume from the checkpoint for a few more iterations
+    cmd2 = [c for c in cmd if not c.startswith("iterations=")]
+    cmd2 += ["iterations=25", "test_iterations=[25]",
+             "checkpoint_iterations=[25]",
+             "--start_checkpoint", str(out / "ckpt" / "chkpnt20.npz")]
+    r2 = subprocess.run(cmd2, cwd=REPO, env=env, capture_output=True,
+                        text=True, timeout=900)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert (out / "ckpt" / "chkpnt25.npz").exists()
