@@ -57,7 +57,7 @@ def main():
 
     settings = RasterSettings(height=66, width=515, vfov=(-24.9, 2.0),
                               hfov=(-90, 90), num_extra_features=4,
-                              pair_cap=1 << 21, tile_chunk=64,
+                              pair_cap=1 << 19, tile_chunk=64,
                               tile_list_cap=16384, tile_h=8, tile_w=128,
                               backend="pallas")
     scene = build_scene()

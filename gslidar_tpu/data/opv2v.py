@@ -21,7 +21,7 @@ import sys
 
 import numpy as np
 
-from gslidar_tpu.data.cameras import CameraInfo, SceneInfo, get_nerfpp_norm
+from gslidar_tpu.data.cameras import SceneInfo, get_nerfpp_norm
 from gslidar_tpu.data.kitti360 import (apply_pose_normalization,
                                        make_frame_cameras)
 from gslidar_tpu.utils.ply import fetch_points_ply, store_points_ply

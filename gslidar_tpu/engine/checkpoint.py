@@ -19,8 +19,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from gslidar_tpu.engine.train import TrainState
-from gslidar_tpu.models.gaussians import GaussianAux
-from gslidar_tpu.models.optim import AdamState
 
 
 def save_checkpoint(path: str, state: TrainState, iteration: int) -> None:

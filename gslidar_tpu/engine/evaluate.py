@@ -6,12 +6,10 @@ train.py:467-563 (complete_eval).
 
 from __future__ import annotations
 
-import functools
 import json
 import os
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from gslidar_tpu.engine.render import render

@@ -32,11 +32,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gslidar_tpu.raster.pallas_fwd import (CHUNK, D_PAD, _prefix_mul,
-                                           _prefix_sum)
-from gslidar_tpu.raster.settings import (ALPHA_EPS, FAR_N, FILTER_INV_SQUARE,
-                                         MAX_ALPHA, NEAR_N, RasterSettings,
-                                         T_STOP)
+from gslidar_tpu.raster.pallas_fwd import CHUNK, D_PAD, _prefix_sum
+from gslidar_tpu.raster.settings import (ALPHA_EPS, FILTER_INV_SQUARE,
+                                         MAX_ALPHA, RasterSettings, T_STOP)
 
 _F_CX, _F_CY, _F_RC, _F_N0, _F_OPA, _F_COL = 9, 10, 11, 12, 15, 16
 

@@ -17,8 +17,7 @@ import jax.numpy as jnp
 
 from gslidar_tpu.raster.binning import Binning, _segment_broadcast_i32
 from gslidar_tpu.raster.pallas_bwd import run_backward
-from gslidar_tpu.raster.pallas_fwd import (CHUNK, D_PAD, _kernel,
-                                           composite_pallas_tiles)
+from gslidar_tpu.raster.pallas_fwd import CHUNK, D_PAD, _kernel
 from gslidar_tpu.raster.settings import FAR_N, NEAR_N, RasterSettings
 
 

@@ -19,7 +19,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from gslidar_tpu.raster.binning import bin_gaussians
-from gslidar_tpu.raster.composite import TileImages, composite
+from gslidar_tpu.raster.composite import composite
 from gslidar_tpu.raster.preprocess import preprocess
 from gslidar_tpu.raster.settings import RasterSettings
 
