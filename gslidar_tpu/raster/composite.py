@@ -43,9 +43,10 @@ class TileImages(NamedTuple):
     final_T: jnp.ndarray      # [1, H, W]
 
 
-def _tile_pixel_grids(settings: RasterSettings):
+def _tile_pixel_grids(settings: RasterSettings, angle_bounds=None):
     """Per-tile flattened pixel coordinates and ray trig, [n_tiles, pix]."""
-    VFOV_min, VFOV_max, HFOV_min, HFOV_max = settings.angle_bounds
+    VFOV_min, VFOV_max, HFOV_min, HFOV_max = (
+        angle_bounds if angle_bounds is not None else settings.angle_bounds)
     H, W = settings.height, settings.width
     ty = jnp.arange(settings.tiles_y)
     tx = jnp.arange(settings.tiles_x)
@@ -78,7 +79,7 @@ def _untile(img_tp: jnp.ndarray, settings: RasterSettings) -> jnp.ndarray:
 
 def composite(binning: Binning, prep: PreprocessOut, features: jnp.ndarray,
               opacity: jnp.ndarray, bg: jnp.ndarray, scale_factor,
-              settings: RasterSettings) -> TileImages:
+              settings: RasterSettings, angle_bounds=None) -> TileImages:
     """Blend sorted tile instance lists into panorama images.
 
     Args:
@@ -94,7 +95,8 @@ def composite(binning: Binning, prep: PreprocessOut, features: jnp.ndarray,
     S = features.shape[-1]
     K = binning.gid_sorted.shape[0]
 
-    px, py, sphi, cphi, stheta, ctheta, _inside = _tile_pixel_grids(settings)
+    px, py, sphi, cphi, stheta, ctheta, _inside = _tile_pixel_grids(
+        settings, angle_bounds)
     near = NEAR_N * scale_factor
     far = FAR_N * scale_factor
 

@@ -283,7 +283,8 @@ def chunk_layout(binning: Binning, packed: jnp.ndarray,
 
 def composite_pallas_tiles(binning: Binning, packed: jnp.ndarray,
                            scale_factor, settings: RasterSettings,
-                           S: int, C: int = 4) -> PallasTiles:
+                           S: int, C: int = 4,
+                           angle_bounds=None) -> PallasTiles:
     th, tw = settings.tile_h, settings.tile_w
     pix = th * tw
     n_tiles = settings.num_tiles
@@ -292,10 +293,14 @@ def composite_pallas_tiles(binning: Binning, packed: jnp.ndarray,
     data, start_chunks, counts = chunk_layout(binning, packed, settings)
     _NR[0] = data.shape[0]
 
-    VFOV_min, VFOV_max, HFOV_min, HFOV_max = settings.angle_bounds
-    params = jnp.asarray([NEAR_N * scale_factor, FAR_N * scale_factor,
-                          VFOV_min, VFOV_max, HFOV_min, HFOV_max, 0.0, 0.0],
-                         jnp.float32)
+    VFOV_min, VFOV_max, HFOV_min, HFOV_max = (
+        angle_bounds if angle_bounds is not None else settings.angle_bounds)
+    params = jnp.stack([
+        jnp.asarray(NEAR_N * scale_factor, jnp.float32),
+        jnp.asarray(FAR_N * scale_factor, jnp.float32),
+        jnp.asarray(VFOV_min, jnp.float32), jnp.asarray(VFOV_max, jnp.float32),
+        jnp.asarray(HFOV_min, jnp.float32), jnp.asarray(HFOV_max, jnp.float32),
+        jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)])
 
     NSC = 11 + C + S + 3
     kernel = functools.partial(_kernel, settings=settings, C=C, S=S,

@@ -141,7 +141,8 @@ composite_op.defvjp(_op_fwd, _op_bwd)
 
 
 def composite_pallas_diff(binning: Binning, prep, features, opacity, bg,
-                          scale_factor, settings: RasterSettings):
+                          scale_factor, settings: RasterSettings,
+                          angle_bounds=None):
     """Differentiable drop-in for composite.composite on the pallas path."""
     from gslidar_tpu.raster.composite import TileImages
     from gslidar_tpu.raster.pallas_fwd import _untile4
@@ -155,10 +156,14 @@ def composite_pallas_diff(binning: Binning, prep, features, opacity, bg,
     P = packed.shape[0]
 
     gid_padded, start_chunks, counts = layout_indices(binning, P, settings)
-    VFOV_min, VFOV_max, HFOV_min, HFOV_max = settings.angle_bounds
-    params = jnp.asarray([NEAR_N * scale_factor, FAR_N * scale_factor,
-                          VFOV_min, VFOV_max, HFOV_min, HFOV_max, 0.0, 0.0],
-                         jnp.float32)
+    VFOV_min, VFOV_max, HFOV_min, HFOV_max = (
+        angle_bounds if angle_bounds is not None else settings.angle_bounds)
+    params = jnp.stack([
+        jnp.asarray(NEAR_N * scale_factor, jnp.float32),
+        jnp.asarray(FAR_N * scale_factor, jnp.float32),
+        jnp.asarray(VFOV_min, jnp.float32), jnp.asarray(VFOV_max, jnp.float32),
+        jnp.asarray(HFOV_min, jnp.float32), jnp.asarray(HFOV_max, jnp.float32),
+        jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)])
 
     color, feat, depth, misc = composite_op(
         packed, jax.lax.stop_gradient(gid_padded),

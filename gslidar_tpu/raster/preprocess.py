@@ -93,15 +93,27 @@ _AABB_SAMPLES = 12
 
 def preprocess(means3D, scales, quats, opacity, shs, mask, viewmat, campos,
                sh_degree, scale_factor, settings: RasterSettings,
-               scale_modifier=1.0, colors_precomp=None) -> PreprocessOut:
+               scale_modifier=1.0, colors_precomp=None,
+               angle_bounds=None, cull_bounds=None) -> PreprocessOut:
     """Full preprocess pass (reference forward.cu:174-287).
 
     opacity: [P] activated opacity (possibly already multiplied by the
     temporal marginal); shs: [P, K, C] or None when colors_precomp given;
     mask: [P] bool prefilter (alive & opacity cut, gaussian_renderer/
-    __init__.py:113-115).
+    __init__.py:113-115). angle_bounds optionally overrides the static
+    settings bounds with traced scalars (vmin, vmax, hmin, hmax) — used by
+    the hfov-sliced multi-chip renderer (parallel/pano_shard.py) where each
+    device renders a different angular slice from one traced program.
+    cull_bounds optionally decouples the frustum-cull window from the
+    pixel-mapping window (a slice renderer culls against the FULL view so
+    edge behaviour matches an unsliced render exactly).
     """
-    VFOV_min, VFOV_max, HFOV_min, HFOV_max = settings.angle_bounds
+    VFOV_min, VFOV_max, HFOV_min, HFOV_max = (
+        angle_bounds if angle_bounds is not None else settings.angle_bounds)
+    cVmin, cVmax, cHmin, cHmax = (
+        cull_bounds if cull_bounds is not None
+        else (angle_bounds if angle_bounds is not None
+              else settings.angle_bounds))
     H, W = settings.height, settings.width
 
     T, normal = build_transmat(means3D, scales, quats, viewmat, scale_modifier)
@@ -116,11 +128,14 @@ def preprocess(means3D, scales, quats, opacity, shs, mask, viewmat, campos,
     theta = jnp.arctan2(jnp.sqrt(x_s * x_s + z_s * z_s), -y)
     r = jnp.sqrt(jnp.sum(p_cam * p_cam, axis=-1) + 1e-24)
 
-    # panoramic frustum cull (auxiliary.h:182-204)
-    center_v = 0.5 * (VFOV_max + VFOV_min)
-    half_v = 0.5 * (VFOV_max - VFOV_min)
-    center_h = 0.5 * (HFOV_max + HFOV_min)
-    half_h = 0.5 * (HFOV_max - HFOV_min)
+    # panoramic frustum cull with a fixed 1.3x margin (auxiliary.h:182-204).
+    # The cull window is the cull_bounds (= the full view for a slice
+    # renderer, so a slice keeps/drops exactly the splats an unsliced
+    # render would); the pixel mapping below uses angle_bounds.
+    center_v = 0.5 * (cVmax + cVmin)
+    half_v = 0.5 * (cVmax - cVmin)
+    center_h = 0.5 * (cHmax + cHmin)
+    half_h = 0.5 * (cHmax - cHmin)
     in_frustum = ((r > NEAR_N * scale_factor)
                   & (jnp.abs((theta - center_v) / half_v) <= FRUSTUM_MARGIN)
                   & (jnp.abs((phi - center_h) / half_h) <= FRUSTUM_MARGIN))

@@ -39,7 +39,8 @@ class RasterOut(NamedTuple):
 def rasterize(means3D, scales, rotations, opacity, shs, features, mask,
               viewmat, campos, bg, sh_degree, scale_factor,
               settings: RasterSettings, scale_modifier=1.0,
-              colors_precomp=None, T_tap=None) -> RasterOut:
+              colors_precomp=None, T_tap=None,
+              angle_bounds=None, cull_bounds=None) -> RasterOut:
     """Render one panorama.
 
     Args:
@@ -52,7 +53,8 @@ def rasterize(means3D, scales, rotations, opacity, shs, features, mask,
     """
     prep = preprocess(means3D, scales, rotations, opacity, shs, mask,
                       viewmat, campos, sh_degree, scale_factor, settings,
-                      scale_modifier, colors_precomp)
+                      scale_modifier, colors_precomp, angle_bounds,
+                      cull_bounds)
     if T_tap is not None:
         prep = prep._replace(T=prep.T + T_tap)
 
@@ -64,10 +66,10 @@ def rasterize(means3D, scales, rotations, opacity, shs, features, mask,
     if settings.backend == "pallas":
         from gslidar_tpu.raster.pallas_op import composite_pallas_diff
         tiles = composite_pallas_diff(binning, prep, features, opacity, bg,
-                                      scale_factor, settings)
+                                      scale_factor, settings, angle_bounds)
     else:
         tiles = composite(binning, prep, features, opacity, bg, scale_factor,
-                          settings)
+                          settings, angle_bounds)
     return RasterOut(
         color=tiles.color, feature=tiles.feature, depth=tiles.depth,
         alpha=tiles.alpha, contrib=tiles.contrib, final_T=tiles.final_T,

@@ -241,8 +241,11 @@ def training(args):
                 ema[k] = 0.4 * float(log[k]) + 0.6 * ema.get(k, 0.0)
             n_alive = int(np.asarray(jnp.sum(state.aux.alive)))
             rate = iteration / max(time.time() - t_start, 1e-9)
+            dropped = int(np.asarray(log.get("num_dropped", 0)))
+            drop_note = (f" PAIR-CAP OVERFLOW: {dropped} instances dropped "
+                         f"(raise raster_pair_cap)" if dropped > 0 else "")
             print(f"[{iteration}/{args.iterations}] loss={ema['loss']:.5f} "
-                  f"pts={n_alive} it/s={rate:.2f}", flush=True)
+                  f"pts={n_alive} it/s={rate:.2f}{drop_note}", flush=True)
             # tensorboard (reference train.py:328-335)
             for k, v in log.items():
                 tb_writer.add_scalar(f"TrainLoss/{k}", float(v), iteration)
