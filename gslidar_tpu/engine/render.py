@@ -45,13 +45,19 @@ def render(params: G.Params, alive: jnp.ndarray, viewmat, campos, timestamp,
            towards_idx, prior_param, bg, sh_degree, scale_factor,
            cfg: G.GaussianConfig, settings: RasterSettings, *,
            dynamic: bool, median_depth: bool = False, time_shift=0.0,
-           T_tap=None, use_prior: bool = True) -> RenderPkg:
+           T_tap=None, use_prior: bool = True,
+           full360: bool = False) -> RenderPkg:
     """One panorama render.
 
     Args:
         towards_idx: 0 = forward, 1 = backward (selects the prior half).
         prior_param: [1, h, 2w] raydrop prior logits (or None).
         time_shift: scalar self-supervision shift (train.py:171-174).
+        full360: the render covers the full stitched 360 panorama in one
+            pass (settings must be the wrap_x full-width config); the prior
+            is re-laid-out to the stitched break order (0, w/2, 3w/2, 2w —
+            gaussian_renderer/__init__.py:164) instead of half-sliced, and
+            towards_idx is ignored.
     """
     opacity = G.get_opacity(params)[:, 0]
     ts = timestamp - time_shift
@@ -89,11 +95,20 @@ def render(params: G.Params, alive: jnp.ndarray, viewmat, campos, timestamp,
 
     if use_prior and prior_param is not None:
         w = prior_param.shape[-1] // 2
-        # dynamic half-slice keeps one compiled fn for both directions
-        start = towards_idx * w
-        prior = jax.nn.sigmoid(
-            jax.lax.dynamic_slice(prior_param, (0, 0, start),
-                                  (1, prior_param.shape[1], w)))
+        if full360:
+            # stitched layout: cols [0, w/2) = back right half,
+            # [w/2, 3w/2) = front, [3w/2, 2w) = back left half
+            front = prior_param[..., :w]
+            back = prior_param[..., w:]
+            prior = jax.nn.sigmoid(jnp.concatenate(
+                [back[..., w // 2:], front, back[..., :w - w // 2]],
+                axis=-1))
+        else:
+            # dynamic half-slice keeps one compiled fn for both directions
+            start = towards_idx * w
+            prior = jax.lax.dynamic_slice(prior_param, (0, 0, start),
+                                          (1, prior_param.shape[1], w))
+            prior = jax.nn.sigmoid(prior)
         raydrop = prior + (1.0 - prior) * raydrop
 
     depth_mean = out.depth[0:1]

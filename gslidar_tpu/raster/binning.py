@@ -102,7 +102,18 @@ def bin_gaussians(rect_min, rect_max, depth, tiles_touched,
 
     j = slots - offs_s
     dy = j // rw_s
-    tile = rmin_tile_s + dy * settings.tiles_x + (j - dy * rw_s)
+    if settings.wrap_x:
+        # circular x: rect columns wrap modulo tiles_x (preprocess stores
+        # rect_min_x normalized into [0, tiles_x) and width <= tiles_x, so
+        # one conditional subtract replaces the mod)
+        gx = settings.tiles_x
+        y0 = rmin_tile_s // gx
+        x0 = rmin_tile_s - y0 * gx
+        xcol = x0 + (j - dy * rw_s)
+        xcol = jnp.where(xcol >= gx, xcol - gx, xcol)
+        tile = (y0 + dy) * gx + xcol
+    else:
+        tile = rmin_tile_s + dy * settings.tiles_x + (j - dy * rw_s)
     pair_valid = slots < total
     tile = jnp.where(pair_valid, tile, n_tiles)
     key = ((tile.astype(jnp.uint32) << jnp.uint32(depth_bits))

@@ -157,6 +157,10 @@ def composite(binning: Binning, prep: PreprocessOut, features: jnp.ndarray,
         rho3d = s1 * s1 + s2 * s2
 
         dxp = bc(xy[..., 0]) - px[:, None, :]
+        if settings.wrap_x:
+            # circular pano: pixel distance wraps at the phi = +-pi seam
+            Wf = float(settings.width)
+            dxp = dxp - Wf * jnp.round(dxp * (1.0 / Wf))
         dyp = bc(xy[..., 1]) - py[:, None, :]
         rho2d = FILTER_INV_SQUARE * (dxp * dxp + dyp * dyp)
         use3d = rho3d <= rho2d

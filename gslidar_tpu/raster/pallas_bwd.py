@@ -125,6 +125,8 @@ def _bwd_kernel(start_chunks_ref, counts_ref, done_ref,  # scalar prefetch
         s2 = p2 / p3s
         rho3d = s1 * s1 + s2 * s2
         dxp = cx - px
+        # circular-pano wrap, same as the forward (params[6]/[7] = W, 1/W)
+        dxp = dxp - params_ref[6] * jnp.round(dxp * params_ref[7])
         dyp = cy - py
         rho2d = FILTER_INV_SQUARE * (dxp * dxp + dyp * dyp)
         use3d = rho3d <= rho2d

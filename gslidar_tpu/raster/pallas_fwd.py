@@ -44,7 +44,6 @@ from gslidar_tpu.raster.settings import (ALPHA_EPS, FAR_N, FILTER_INV_SQUARE,
                                          T_STOP)
 
 CHUNK = 128          # instances per grid step (= lane width)
-_NR = [1]            # rows in the current chunk table (for index clamping)
 D_PAD = 24           # padded field count (D = 20 + C + S; 22 for C=4, S=4)
 
 # field indices in the packed row (see composite_pallas packing)
@@ -154,6 +153,10 @@ def _kernel(start_chunks_ref, counts_ref,   # scalar prefetch [n_tiles]
         s2 = p2 / p3s
         rho3d = s1 * s1 + s2 * s2
         dxp = cx - px
+        # params[6]/[7] = (W, 1/W) when the pano is circular, else (0, 0):
+        # wraps the 2D pixel distance across the phi = +-pi seam (no-op
+        # when disabled since round(0) == 0)
+        dxp = dxp - params_ref[6] * jnp.round(dxp * params_ref[7])
         dyp = cy - py
         rho2d = FILTER_INV_SQUARE * (dxp * dxp + dyp * dyp)
         use3d = rho3d <= rho2d
@@ -291,16 +294,18 @@ def composite_pallas_tiles(binning: Binning, packed: jnp.ndarray,
     n_chunks = max(settings.tile_list_cap // CHUNK, 1)
 
     data, start_chunks, counts = chunk_layout(binning, packed, settings)
-    _NR[0] = data.shape[0]
+    n_rows = data.shape[0]
 
     VFOV_min, VFOV_max, HFOV_min, HFOV_max = (
         angle_bounds if angle_bounds is not None else settings.angle_bounds)
+    wrap_w = float(settings.width) if settings.wrap_x else 0.0
+    wrap_inv = 1.0 / wrap_w if settings.wrap_x else 0.0
     params = jnp.stack([
         jnp.asarray(NEAR_N * scale_factor, jnp.float32),
         jnp.asarray(FAR_N * scale_factor, jnp.float32),
         jnp.asarray(VFOV_min, jnp.float32), jnp.asarray(VFOV_max, jnp.float32),
         jnp.asarray(HFOV_min, jnp.float32), jnp.asarray(HFOV_max, jnp.float32),
-        jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)])
+        jnp.asarray(wrap_w, jnp.float32), jnp.asarray(wrap_inv, jnp.float32)])
 
     NSC = 11 + C + S + 3
     kernel = functools.partial(_kernel, settings=settings, C=C, S=S,
@@ -310,8 +315,8 @@ def composite_pallas_tiles(binning: Binning, packed: jnp.ndarray,
         grid=(n_tiles, n_chunks),
         in_specs=[
             pl.BlockSpec((1, D_PAD, CHUNK),
-                         lambda t, c, starts, cnts, n_rows=None: (
-                             jnp.minimum(starts[t] + c, _NR[0] - 1), 0, 0)),
+                         lambda t, c, starts, cnts: (
+                             jnp.minimum(starts[t] + c, n_rows - 1), 0, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[

@@ -158,12 +158,14 @@ def composite_pallas_diff(binning: Binning, prep, features, opacity, bg,
     gid_padded, start_chunks, counts = layout_indices(binning, P, settings)
     VFOV_min, VFOV_max, HFOV_min, HFOV_max = (
         angle_bounds if angle_bounds is not None else settings.angle_bounds)
+    wrap_w = float(settings.width) if settings.wrap_x else 0.0
+    wrap_inv = 1.0 / wrap_w if settings.wrap_x else 0.0
     params = jnp.stack([
         jnp.asarray(NEAR_N * scale_factor, jnp.float32),
         jnp.asarray(FAR_N * scale_factor, jnp.float32),
         jnp.asarray(VFOV_min, jnp.float32), jnp.asarray(VFOV_max, jnp.float32),
         jnp.asarray(HFOV_min, jnp.float32), jnp.asarray(HFOV_max, jnp.float32),
-        jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)])
+        jnp.asarray(wrap_w, jnp.float32), jnp.asarray(wrap_inv, jnp.float32)])
 
     color, feat, depth, misc = composite_op(
         packed, jax.lax.stop_gradient(gid_padded),

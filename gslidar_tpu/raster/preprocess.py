@@ -154,6 +154,13 @@ def preprocess(means3D, scales, quats, opacity, shs, mask, viewmat, campos,
     s_x = jnp.where(s_degen, 0.0, sample[..., 0])
     s_z = jnp.where(s_degen, 1.0, sample[..., 2])
     s_phi = jnp.arctan2(s_x, s_z)
+    if settings.wrap_x:
+        # circular pano: unwrap the sample angles around the center phi so
+        # a splat straddling the +-pi seam gets a LOCAL (possibly
+        # out-of-[0,W)) pixel AABB instead of a full-width one
+        dphi = s_phi - phi[:, None]
+        dphi = dphi - 2.0 * jnp.pi * jnp.round(dphi / (2.0 * jnp.pi))
+        s_phi = phi[:, None] + dphi
     s_theta = jnp.arctan2(jnp.sqrt(s_x * s_x + s_z * s_z), -sample[..., 1])
     sx_pix = (s_phi - HFOV_min) * W / (HFOV_max - HFOV_min)
     sy_pix = (s_theta - VFOV_min) * H / (VFOV_max - VFOV_min)
@@ -169,17 +176,22 @@ def preprocess(means3D, scales, quats, opacity, shs, mask, viewmat, campos,
     # tile rect: center +- radius, clamped to the grid (auxiliary.h:47-55)
     gx, gy = settings.tiles_x, settings.tiles_y
     tw, th = settings.tile_w, settings.tile_h
-    rect_min_x = jnp.clip(((cx_pix - rad_i) / tw).astype(jnp.int32), 0, gx)
     rect_min_y = jnp.clip(((cy_pix - rad_i) / th).astype(jnp.int32), 0, gy)
-    rect_max_x = jnp.clip(((cx_pix + rad_i + tw - 1) / tw).astype(jnp.int32), 0, gx)
     rect_max_y = jnp.clip(((cy_pix + rad_i + th - 1) / th).astype(jnp.int32), 0, gy)
+    if settings.wrap_x:
+        # circular x: unclamped tile span (floor division — x may be
+        # negative), width capped at one full revolution, start normalized
+        # into [0, tiles_x); binning wraps columns modulo tiles_x
+        x0t = jnp.floor((cx_pix - rad_i) / tw).astype(jnp.int32)
+        x1t = jnp.floor((cx_pix + rad_i + tw - 1) / tw).astype(jnp.int32)
+        wt = jnp.clip(x1t - x0t, 0, gx)
+        rect_min_x = jnp.mod(x0t, gx)
+        rect_max_x = rect_min_x + wt
+    else:
+        rect_min_x = jnp.clip(((cx_pix - rad_i) / tw).astype(jnp.int32), 0, gx)
+        rect_max_x = jnp.clip(((cx_pix + rad_i + tw - 1) / tw).astype(jnp.int32), 0, gx)
     area = (rect_max_x - rect_min_x) * (rect_max_y - rect_min_y)
     valid = valid & (area > 0)
-
-    if settings.max_tiles_per_gaussian:
-        # optional safety clamp: keep the rect centred rows/cols first
-        pass  # (not applied in parity mode)
-
     tiles_touched = jnp.where(valid, area, 0).astype(jnp.int32)
 
     if colors_precomp is not None:

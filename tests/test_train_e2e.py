@@ -27,9 +27,20 @@ def test_train_cli_end_to_end(tmp_path):
            "raster_tile_list_cap=256", "densify_until_num_points=20000"]
     r = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True,
                        text=True, timeout=900)
-    assert r.returncode == 0, r.stderr[-2000:]
+    log_path = out / "log.txt"
+
+    def _tail():
+        tail = r.stderr[-1000:] + r.stdout[-500:]
+        if log_path.exists():
+            tail += log_path.read_text()[-2000:]
+        return tail
+
+    assert r.returncode == 0, _tail()
+    # stdout/stderr redirected to log.txt by default (reference
+    # train.py:806-809); the CLI ran without --show_log
+    assert log_path.exists() and log_path.stat().st_size > 0
     metrics_path = out / "eval" / "test_20_render" / "metrics.json"
-    assert metrics_path.exists(), r.stdout[-2000:]
+    assert metrics_path.exists(), _tail()
     m = json.loads(metrics_path.read_text())
     assert "Ray drop" in m and "Point Cloud mix" in m
     assert (out / "ckpt" / "chkpnt20.npz").exists()
@@ -42,5 +53,7 @@ def test_train_cli_end_to_end(tmp_path):
              "--start_checkpoint", str(out / "ckpt" / "chkpnt20.npz")]
     r2 = subprocess.run(cmd2, cwd=REPO, env=env, capture_output=True,
                         text=True, timeout=900)
-    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert r2.returncode == 0, (r2.stderr[-1000:] +
+                                (log_path.read_text()[-2000:]
+                                 if log_path.exists() else ""))
     assert (out / "ckpt" / "chkpnt25.npz").exists()

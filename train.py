@@ -302,7 +302,7 @@ if __name__ == "__main__":
     parser.add_argument("--debug_cuda", action="store_true")
     parser.add_argument("--test_only", action="store_true")
     parser.add_argument("--median_depth", action="store_true")
-    parser.add_argument("--show_log", action="store_true", default=True)
+    parser.add_argument("--show_log", action="store_true")
     parser.add_argument("--skip_refine", action="store_true")
     args_read, _ = parser.parse_known_args()
 
@@ -316,6 +316,14 @@ if __name__ == "__main__":
             and args.start_checkpoint is None):
         shutil.rmtree(args.model_path)
     os.makedirs(args.model_path, exist_ok=True)
+
+    # stdout/stderr -> {model_path}/log.txt unless --show_log
+    # (reference train.py:806-809)
+    if not args_read.show_log:
+        _log_f = open(os.path.join(args.model_path, "log.txt"), "w",
+                      buffering=1)
+        sys.stdout = _log_f
+        sys.stderr = _log_f
 
     if not args.dynamic:
         args.t_grad = False
@@ -365,10 +373,7 @@ if __name__ == "__main__":
     from gslidar_tpu.utils.general import seed_everything
     seed_everything(args.seed)
 
-    if not args.test_only:
-        training(args)
-    else:
-        training(args)
+    training(args)
 
     print("\nTraining complete.")
 
