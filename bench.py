@@ -5,11 +5,21 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
 The workload mirrors the reference's headline render: a KITTI-360-scale
 scene (1e6 gaussians, configs/kitti360_nvs_1908.yaml:10) rendered as the
-full 360-degree range map = two 66x515 half-panoramas
-(gaussian_renderer/__init__.py:158-227). vs_baseline is measured against
-100 renders/sec — a generous estimate of the CUDA rasterizer's A100
+full 360-degree range map (reference: two 66x515 half-panoramas,
+gaussian_renderer/__init__.py:158-227; here: ONE circular single-pass
+panorama — same pixels, same math). The render is HONEST: the scene
+generates ~2.3M (gaussian, tile) instances and the caps are sized so
+NONE are dropped (the bench asserts num_dropped == 0; round 1 silently
+truncated 60% of instances). vs_baseline is measured against 100
+renders/sec — a generous estimate of the CUDA rasterizer's A100
 throughput at this resolution (the reference publishes no numbers;
 BASELINE.md) — so vs_baseline >= 2.0 meets the north star.
+
+Timing note: through the axon relay, dispatch is async and
+block_until_ready does not block; only host fetches do (~30 ms fixed
+RPC overhead). The loop is a dependent chain ending in a scalar fetch,
+timed at two iteration counts; the per-render cost is the slope, which
+cancels the fixed overhead.
 """
 
 from __future__ import annotations
@@ -24,6 +34,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 import numpy as np
 
 A100_BASELINE_RENDERS_PER_SEC = 100.0
+N_LO, N_HI = 4, 24
+REPS = 3
 
 
 def build_scene(P=1_000_000, seed=0):
@@ -55,40 +67,47 @@ def main():
     import jax.numpy as jnp
     from gslidar_tpu.raster import RasterSettings, rasterize
 
-    settings = RasterSettings(height=66, width=515, vfov=(-24.9, 2.0),
-                              hfov=(-90, 90), num_extra_features=4,
-                              pair_cap=1 << 19, tile_chunk=64,
-                              tile_list_cap=16384, tile_h=8, tile_w=128,
-                              backend="pallas")
+    settings = RasterSettings(height=66, width=1030, vfov=(-24.9, 2.0),
+                              hfov=(-180, 180), num_extra_features=4,
+                              pair_cap=1 << 21, tile_h=32, tile_w=32,
+                              wrap_x=True, backend="pallas")
     scene = build_scene()
     sf = 0.1
     bg = jnp.asarray([0.0, 0.0, 0.0, 1.0])
-    viewm_f = jnp.eye(4, dtype=jnp.float32)
-    # backward camera: R_back = R @ diag(-1,1,-1) (scene/kitti360_loader.py:215-218)
-    viewm_b = jnp.asarray(np.diag([-1.0, 1.0, -1.0, 1.0]).astype(np.float32))
+    viewm = jnp.eye(4, dtype=jnp.float32)
 
     @jax.jit
-    def render_360(sc, viewmat_front, viewmat_back):
-        outs = []
-        for vm in (viewmat_front, viewmat_back):
-            out = rasterize(sc["means3D"], sc["scales"],
-                            sc["rotations"], sc["opacity"], sc["shs"],
-                            sc["features"], sc["mask"], vm,
-                            jnp.zeros(3), bg, 3, sf, settings=settings)
-            outs.append((out.color, out.depth, out.alpha))
-        return outs
+    def render_360(sc, viewmat):
+        out = rasterize(sc["means3D"], sc["scales"],
+                        sc["rotations"], sc["opacity"], sc["shs"],
+                        sc["features"], sc["mask"], viewmat,
+                        jnp.zeros(3), bg, 3, sf, settings=settings)
+        return out.color, out.depth, out.alpha, out.num_dropped
 
-    # warm up / compile
-    out = render_360(scene, viewm_f, viewm_b)
-    jax.block_until_ready(out)
+    out = render_360(scene, viewm)
+    assert int(out[3]) == 0, (
+        f"pair cap overflow: {int(out[3])} instances dropped — "
+        "the bench must render every instance")
 
-    n_iter = 20
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = render_360(scene, viewm_f, viewm_b)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    renders_per_sec = n_iter / dt
+    # dependent chain: each iteration's viewmat is perturbed by the
+    # previous output so the relay cannot overlap or cache iterations
+    def chain(n):
+        vm = viewm
+        color = out[0]
+        t0 = time.perf_counter()
+        for _ in range(n):
+            eps = color[0, 0, 0] * 1e-20
+            vm = viewm.at[0, 3].set(eps)
+            color, depth, alpha, _nd = render_360(scene, vm)
+        _ = float(np.asarray(color[0, 0, 0]))
+        return time.perf_counter() - t0
+
+    chain(2)   # warm both branches
+    times = {}
+    for n in (N_LO, N_HI):
+        times[n] = min(chain(n) for _ in range(REPS))
+    per_render = (times[N_HI] - times[N_LO]) / (N_HI - N_LO)
+    renders_per_sec = 1.0 / per_render
 
     print(json.dumps({
         "metric": "pano_360_renders_per_sec_66x1030_1M_gaussians",

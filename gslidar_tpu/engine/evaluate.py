@@ -16,7 +16,7 @@ from gslidar_tpu.engine.render import render
 from gslidar_tpu.engine.train import CameraBatch, camera_to_batch
 from gslidar_tpu.utils.general import make_image_grid, save_image, visualize_depth
 from gslidar_tpu.utils.metrics import (DepthMeter, IntensityMeter, PointsMeter,
-                                       RaydropMeter)
+                                       RaydropMeter, lpips_json)
 
 EPS = 1e-5
 
@@ -34,72 +34,110 @@ def make_eval_render(args, cfg, settings, bg):
     return eval_render
 
 
+def make_eval_render360(args, cfg, settings, bg):
+    """Single-pass full-360 render (one preprocess+sort for the whole
+    stitched panorama) — the two-half split of the reference exists only
+    because its CUDA settings force it (gaussian_renderer/__init__.py:
+    158-227); a circular (wrap_x) panorama renders identically in one
+    pass. Rendered in the FRONT camera frame with hfov (-180, 180), whose
+    pixel mapping lands front at columns [w/2, 3w/2) — exactly the
+    reference stitch layout (breaks 0, w/2, 3w/2, 2w)."""
+    import dataclasses
+    sf = float(args.scale_factor)
+    dynamic = bool(args.dynamic)
+    median_depth = bool(args.get("median_depth", False))
+    s360 = dataclasses.replace(
+        settings, width=settings.width * 2, hfov=(-180.0, 180.0),
+        wrap_x=True, pair_cap=settings.pair_cap * 2)
+
+    @jax.jit
+    def eval_render360(params, alive, prior, cam: CameraBatch, sh_degree):
+        return render(params, alive, cam.viewmat, cam.campos, cam.timestamp,
+                      cam.towards_idx, prior, bg, sh_degree, sf, cfg,
+                      s360, dynamic=dynamic, median_depth=median_depth,
+                      full360=True)
+    return eval_render360
+
+
+def _depth3(depth, depth_median, depth_sq, alpha, args, col_groups):
+    """depth_mix/mean/median stack with the reference's per-half-image
+    var quantile (train.py render_range_map computes np.median over each
+    66x515 half separately; col_groups lists each half's columns)."""
+    depth_var = depth_sq - depth ** 2
+    depth_mix = np.empty_like(depth)
+    for cols in col_groups:
+        vq = np.median(depth_var[..., cols]) * 10
+        sel = depth_var[..., cols] > vq
+        depth_mix[..., cols] = np.where(sel, depth_median[..., cols],
+                                        depth[..., cols])
+    depth3 = np.concatenate([depth_mix, depth, depth_median], axis=0)
+    if args.sky_depth:
+        sky = 900.0
+        depth3 = depth3 / np.clip(alpha, EPS, None)
+        if args.depth_blend_mode == 0:
+            depth3 = 1 / np.clip(alpha / np.clip(depth3, EPS, None)
+                                 + (1 - alpha) / sky, EPS, None)
+        else:
+            depth3 = alpha * depth3 + (1 - alpha) * sky
+    return depth3
+
+
 def render_range_map(args, cam_front, cam_back, eval_render, params, alive,
-                     prior, sh_degree, hw):
-    """Stitch front+back half-panoramas into one 360 map with the reference
-    break layout (0, w/2, 3w/2, 2w) — gaussian_renderer/__init__.py:158-227."""
+                     prior, sh_degree, hw, eval_render360=None):
+    """360 range map with the reference break layout (0, w/2, 3w/2, 2w)
+    — gaussian_renderer/__init__.py:158-227. With ``eval_render360`` the
+    panorama is rendered in ONE wrap_x pass; otherwise front+back halves
+    are rendered separately and stitched (reference behaviour)."""
     assert cam_front.towards == "forward" and cam_back.towards == "backward"
     h, w = hw
     breaks = (0, w // 2, 3 * w // 2, w * 2)
+    front_cols = np.arange(breaks[1], breaks[2])
+    back_cols = np.concatenate([np.arange(breaks[2], breaks[3]),
+                                np.arange(breaks[0], breaks[1])])
+
+    gt_depth_pano = np.zeros([1, h, w * 2], np.float32)
+    gt_intensity_pano = np.zeros([1, h, w * 2], np.float32)
+    for idx, cam in enumerate([cam_front, cam_back]):
+        d_gt = np.asarray(cam.pts_depth)
+        i_gt = np.asarray(cam.pts_intensity)
+        cols = front_cols if idx == 0 else back_cols
+        gt_depth_pano[..., cols] = d_gt
+        gt_intensity_pano[..., cols] = i_gt
+
+    if eval_render360 is not None:
+        pkg = eval_render360(params, alive, prior,
+                             camera_to_batch(cam_front), sh_degree)
+        depth_pano = _depth3(np.asarray(pkg.depth),
+                             np.asarray(pkg.depth_median),
+                             np.asarray(pkg.depth_square),
+                             np.asarray(pkg.alpha), args,
+                             [front_cols, back_cols])
+        intensity_pano = np.asarray(pkg.intensity_sh)
+        raydrop_pano = np.asarray(pkg.raydrop)
+        return (depth_pano, intensity_pano, raydrop_pano, gt_depth_pano,
+                gt_intensity_pano)
 
     depth_pano = np.zeros([3, h, w * 2], np.float32)
     intensity_pano = np.zeros([1, h, w * 2], np.float32)
     raydrop_pano = np.zeros([1, h, w * 2], np.float32)
-    gt_depth_pano = np.zeros([1, h, w * 2], np.float32)
-    gt_intensity_pano = np.zeros([1, h, w * 2], np.float32)
-
     for idx, cam in enumerate([cam_front, cam_back]):
         pkg = eval_render(params, alive, prior, camera_to_batch(cam),
                           sh_degree)
-        depth = np.asarray(pkg.depth)
-        alpha = np.asarray(pkg.alpha)
-        raydrop = np.asarray(pkg.raydrop)
-        depth_sq = np.asarray(pkg.depth_square)
-        depth_median = np.asarray(pkg.depth_median)
-
-        depth_var = depth_sq - depth ** 2
-        var_quantile = np.median(depth_var) * 10
-        depth_mix = np.where(depth_var > var_quantile, depth_median, depth)
-        depth3 = np.concatenate([depth_mix, depth, depth_median], axis=0)
-
-        if args.sky_depth:
-            sky = 900.0
-            depth3 = depth3 / np.clip(alpha, EPS, None)
-            if args.depth_blend_mode == 0:
-                depth3 = 1 / np.clip(alpha / np.clip(depth3, EPS, None)
-                                     + (1 - alpha) / sky, EPS, None)
-            else:
-                depth3 = alpha * depth3 + (1 - alpha) * sky
-
-        inten = np.asarray(pkg.intensity_sh)
-        d_gt = np.asarray(cam.pts_depth)
-        i_gt = np.asarray(cam.pts_intensity)
-
-        if idx == 0:   # front 180
-            depth_pano[:, :, breaks[1]:breaks[2]] = depth3
-            gt_depth_pano[:, :, breaks[1]:breaks[2]] = d_gt
-            intensity_pano[:, :, breaks[1]:breaks[2]] = inten
-            gt_intensity_pano[:, :, breaks[1]:breaks[2]] = i_gt
-            raydrop_pano[:, :, breaks[1]:breaks[2]] = raydrop
-        else:          # back wraps around both ends
-            span = breaks[3] - breaks[2]
-            depth_pano[:, :, breaks[2]:breaks[3]] = depth3[:, :, :span]
-            depth_pano[:, :, breaks[0]:breaks[1]] = depth3[:, :, w - breaks[1]:]
-            gt_depth_pano[:, :, breaks[2]:breaks[3]] = d_gt[:, :, :span]
-            gt_depth_pano[:, :, breaks[0]:breaks[1]] = d_gt[:, :, w - breaks[1]:]
-            intensity_pano[:, :, breaks[2]:breaks[3]] = inten[:, :, :span]
-            intensity_pano[:, :, breaks[0]:breaks[1]] = inten[:, :, w - breaks[1]:]
-            gt_intensity_pano[:, :, breaks[2]:breaks[3]] = i_gt[:, :, :span]
-            gt_intensity_pano[:, :, breaks[0]:breaks[1]] = i_gt[:, :, w - breaks[1]:]
-            raydrop_pano[:, :, breaks[2]:breaks[3]] = raydrop[:, :, :span]
-            raydrop_pano[:, :, breaks[0]:breaks[1]] = raydrop[:, :, w - breaks[1]:]
+        depth3 = _depth3(np.asarray(pkg.depth), np.asarray(pkg.depth_median),
+                         np.asarray(pkg.depth_square), np.asarray(pkg.alpha),
+                         args, [np.arange(w)])
+        cols = front_cols if idx == 0 else back_cols
+        depth_pano[..., cols] = depth3
+        intensity_pano[..., cols] = np.asarray(pkg.intensity_sh)
+        raydrop_pano[..., cols] = np.asarray(pkg.raydrop)
 
     return (depth_pano, intensity_pano, raydrop_pano, gt_depth_pano,
             gt_intensity_pano)
 
 
 def complete_eval(iteration, args, scene, state, sh_degree, eval_render,
-                  is_final=False, save_raydrop_data=False):
+                  is_final=False, save_raydrop_data=False,
+                  eval_render360=None):
     """Reference train.py:467-563. Returns {split: metrics dict}."""
     scale = scene.resolution_scales[scene.scale_index]
     if not is_final:
@@ -136,7 +174,8 @@ def complete_eval(iteration, args, scene, state, sh_degree, eval_render,
             (depth_pano, intensity_pano, raydrop_pano, gt_depth_pano,
              gt_intensity_pano) = render_range_map(
                 args, cam_front, cam_back, eval_render, state.params,
-                state.aux.alive, state.prior, sh_degree, [h, w])
+                state.aux.alive, state.prior, sh_degree, [h, w],
+                eval_render360=eval_render360)
 
             raydrop_mask = np.where(raydrop_pano > 0.5, 1.0, 0.0)
             gt_raydrop = np.where(gt_depth_pano > 0, 0.0, 1.0)
@@ -184,9 +223,9 @@ def complete_eval(iteration, args, scene, state, sh_degree, eval_render,
             "Point Cloud mix": {"C-D": cd_mix, "F-score": f_mix},
             "Point Cloud mean": {"C-D": cd_mean, "F-score": f_mean},
             "Point Cloud median": {"C-D": cd_med, "F-score": f_med},
-            "Depth": {"RMSE": rmse_d, "MedAE": medae_d, "LPIPS": lp_d,
+            "Depth": {"RMSE": rmse_d, "MedAE": medae_d, "LPIPS": lpips_json(lp_d),
                       "SSIM": ssim_d, "PSNR": psnr_d},
-            "Intensity SH": {"RMSE": rmse_i, "MedAE": medae_i, "LPIPS": lp_i,
+            "Intensity SH": {"RMSE": rmse_i, "MedAE": medae_i, "LPIPS": lpips_json(lp_i),
                              "SSIM": ssim_i, "PSNR": psnr_i},
         }
         with open(os.path.join(outdir, "metrics.json"), "w") as f:

@@ -128,7 +128,8 @@ def refine_test(args):
     from gslidar_tpu.utils.general import (make_image_grid, save_image,
                                            visualize_depth)
     from gslidar_tpu.utils.metrics import (DepthMeter, IntensityMeter,
-                                           PointsMeter, RaydropMeter)
+                                           PointsMeter, RaydropMeter,
+                                           lpips_json)
     from gslidar_tpu.ops.pano import pano_to_lidar_np
     from gslidar_tpu.utils.ply import save_xyz_ply
 
@@ -185,9 +186,9 @@ def refine_test(args):
             "split": mode, "iteration": "refine",
             "Ray drop": {"RMSE": RMSE, "Acc": Acc, "F1": F1},
             "Point Cloud": {"C-D": cd, "F-score": fs},
-            "Depth": {"RMSE": rmse_d, "MedAE": medae_d, "LPIPS": lp_d,
+            "Depth": {"RMSE": rmse_d, "MedAE": medae_d, "LPIPS": lpips_json(lp_d),
                       "SSIM": ssim_d, "PSNR": psnr_d},
-            "Intensity": {"RMSE": rmse_i, "MedAE": medae_i, "LPIPS": lp_i,
+            "Intensity": {"RMSE": rmse_i, "MedAE": medae_i, "LPIPS": lpips_json(lp_i),
                           "SSIM": ssim_i, "PSNR": psnr_i},
         }
         with open(os.path.join(outdir, "metrics.json"), "w") as f:

@@ -9,10 +9,19 @@ TPU-native extension implemented here:
 * the per-iteration camera batch SHARDED along "data" — each chip renders
   and differentiates its own panorama (the reference's batch is one camera,
   train.py:162-176; here it is one camera *per chip*);
-* gradients are averaged with a mean over the batch axis — under jit +
+* gradients are averaged by the mean over the batch axis — under jit +
   shardings XLA lowers this to an all-reduce (psum) over ICI;
 * the Adam update then runs replicated, keeping params bitwise identical
-  on every chip.
+  on every chip;
+* densification statistics accumulate per CAMERA (B static unrolled
+  calls), so one data-parallel iteration matches B sequential reference
+  iterations: radii/visibility update per camera, the viewspace
+  positional gradient is each camera's own T-tap conversion, and denom
+  counts every camera that saw the gaussian. Deviation: the t-statistic
+  adds the batch-MEAN t-gradient per visible camera (per-camera t grads
+  would need B separate backward passes); since invisible cameras
+  contribute ~zero t-gradient, the sum over visible cameras closely
+  tracks the true per-camera accumulation.
 
 This scales the dominant cost (render fwd+bwd) linearly in chips without
 touching the rasterizer internals. Gaussian-axis sharding of preprocess /
@@ -30,9 +39,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gslidar_tpu.engine.losses import compute_losses
 from gslidar_tpu.engine.render import render
-from gslidar_tpu.engine.train import CameraBatch
+from gslidar_tpu.engine.train import (CameraBatch, TrainState,
+                                      _transmat_for_stats)
 from gslidar_tpu.models import gaussians as G
+from gslidar_tpu.models.densify import add_densification_stats
 from gslidar_tpu.models.optim import adam_step, group_lrs, init_adam
+from gslidar_tpu.models.raydrop_prior import PriorAdam
+from gslidar_tpu.raster.rasterize import densify_grads_from_T_tap
 from gslidar_tpu.raster.settings import RasterSettings
 
 
@@ -42,48 +55,96 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs[:n]), ("data",))
 
 
+def stack_camera_batch(cams) -> CameraBatch:
+    """Stack single-camera CameraBatches along a new leading batch axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *cams)
+
+
 def make_parallel_train_step(args, cfg: G.GaussianConfig,
-                             settings: RasterSettings, bg, mesh: Mesh):
-    """Jitted data-parallel train step: camera batch axis -> mesh 'data'."""
+                             settings: RasterSettings, bg, mesh: Mesh, *,
+                             n_cameras: int | None = None):
+    """Data-parallel twin of engine.train.make_train_step.
+
+    Same (TrainState, loss, log) contract; ``cam`` carries a leading
+    batch axis of ``n_cameras`` (default mesh size) sharded over the
+    mesh's "data" axis, and ``time_shift`` is per-camera [B].
+    """
     dynamic = bool(args.dynamic)
+    median_depth = bool(args.get("median_depth", False))
     sf = float(args.scale_factor)
+    B = n_cameras or mesh.size
 
     repl = NamedSharding(mesh, P())
-    batch_shard = NamedSharding(mesh, P("data"))
+    shard = NamedSharding(mesh, P("data"))
+    state_sh = jax.tree.map(lambda _: repl, TrainState(0, 0, 0, 0, 0))
+    cams_sh = jax.tree.map(lambda _: shard, CameraBatch(*[0] * 6))
 
-    def per_camera_loss(params, prior, alive, cam: CameraBatch, iteration,
-                        sh_degree):
-        pkg = render(params, alive, cam.viewmat, cam.campos, cam.timestamp,
-                     cam.towards_idx, prior, bg, sh_degree, sf, cfg,
-                     settings, dynamic=dynamic)
-        opa = G.get_opacity(params)[:, 0]
-        loss, _ = compute_losses(pkg, cam.pts_depth, cam.pts_intensity,
-                                 iteration, args, opa,
-                                 alive.astype(jnp.float32))
-        return loss
+    @functools.partial(jax.jit, static_argnames=("apply_update",),
+                       in_shardings=(state_sh, cams_sh, repl, repl, shard,
+                                     repl),
+                       out_shardings=(state_sh, repl, None))
+    def train_step(state: TrainState, cams: CameraBatch, iteration,
+                   sh_degree, time_shift, stats_on, apply_update: bool = True):
+        cap = state.aux.alive.shape[0]
+        T_tap0 = jnp.zeros((B, cap, 3, 3), jnp.float32)
 
-    def batched_loss(params, prior, alive, cams: CameraBatch, iteration,
-                     sh_degree):
-        losses = jax.vmap(
-            lambda c: per_camera_loss(params, prior, alive, c, iteration,
-                                      sh_degree))(cams)
-        return jnp.mean(losses)   # mean over batch == psum/n over the mesh
+        def per_camera(params, prior, T_tap, cam, tsh):
+            pkg = render(params, state.aux.alive, cam.viewmat, cam.campos,
+                         cam.timestamp, cam.towards_idx, prior, bg,
+                         sh_degree, sf, cfg, settings, dynamic=dynamic,
+                         median_depth=median_depth, time_shift=tsh,
+                         T_tap=T_tap)
+            opa = G.get_opacity(params)[:, 0]
+            loss, log = compute_losses(pkg, cam.pts_depth, cam.pts_intensity,
+                                       iteration, args, opa,
+                                       state.aux.alive.astype(jnp.float32))
+            return loss, (log, pkg.radii, pkg.visibility, pkg.num_dropped)
 
-    @functools.partial(
-        jax.jit,
-        in_shardings=(repl, repl, repl, repl,
-                      jax.tree.map(lambda _: batch_shard,
-                                   CameraBatch(*[0] * 6)),
-                      repl, repl),
-        out_shardings=(repl, repl, repl))
-    def train_step(params, opt_state, prior, alive, cams, iteration,
-                   sh_degree):
-        loss, (gp, gprior) = jax.value_and_grad(
-            batched_loss, argnums=(0, 1))(params, prior, alive, cams,
-                                          iteration, sh_degree)
-        lrs = group_lrs(args, iteration)
-        new_params, new_opt = adam_step(params, gp, opt_state, lrs)
-        return new_params, new_opt, loss
+        def batched_loss(params, prior, T_tap):
+            losses, aux_out = jax.vmap(
+                lambda tap, cam, tsh: per_camera(params, prior, tap, cam,
+                                                 tsh),
+                in_axes=(0, 0, 0))(T_tap, cams, time_shift)
+            # mean over the batch axis == psum/B over the mesh (ICI)
+            return jnp.mean(losses), aux_out
+
+        grad_fn = jax.value_and_grad(batched_loss, argnums=(0, 1, 2),
+                                     has_aux=True)
+        ((loss, (log_b, radii_b, vis_b, ndrop_b)),
+         (gp, gprior, gtap)) = grad_fn(state.params, state.prior, T_tap0)
+
+        # densification statistics per camera (see module docstring):
+        # gtap carries d(mean loss)/dT per camera; undo the 1/B of the
+        # mean so each camera's viewspace gradient matches its own
+        # single-camera backward (reference train.py:356-362)
+        trans_b = jax.vmap(
+            lambda cam, tsh: _transmat_for_stats(state.params, cam.viewmat,
+                                                 cfg, cam.timestamp, tsh)
+        )(cams, time_shift)
+        vs_b = jax.vmap(
+            lambda tap, tr: densify_grads_from_T_tap(tap * B, tr, settings)
+        )(gtap, trans_b)
+        aux = state.aux
+        for i in range(B):
+            aux = add_densification_stats(
+                aux,
+                jnp.where(stats_on, vs_b[i], 0.0),
+                jnp.where(stats_on, gp["t"], 0.0),
+                radii_b[i], vis_b[i] & (stats_on > 0))
+
+        if apply_update:
+            lrs = group_lrs(args, iteration)
+            new_params, new_opt = adam_step(state.params, gp, state.opt, lrs)
+        else:
+            new_params, new_opt = state.params, state.opt
+
+        new_prior, new_prior_opt = PriorAdam.step(
+            state.prior, gprior, state.prior_opt, args.raydrop_prior_lr)
+
+        log = {k: jnp.mean(v) for k, v in log_b.items()}
+        log["num_dropped"] = jnp.max(ndrop_b)
+        return TrainState(new_params, aux, new_opt, new_prior,
+                          new_prior_opt), loss, log
 
     return train_step
 
@@ -102,8 +163,11 @@ def _toy_camera_batch(n, H, W, seed=0) -> CameraBatch:
 
 
 def dryrun_multichip(n_devices: int) -> None:
-    """One data-parallel train step on tiny shapes over an n-device mesh."""
+    """One FULL data-parallel train step (render + 13 losses + backward +
+    per-group Adam + densify stats + prior Adam) on tiny shapes over an
+    n-device mesh."""
     from gslidar_tpu.config import Config
+    from gslidar_tpu.engine.train import init_train_state
 
     mesh = make_mesh(n_devices)
     H, W = 32, 64
@@ -122,6 +186,7 @@ def dryrun_multichip(n_devices: int) -> None:
         "lambda_tv": 0.0, "lambda_gs_opa": 0.0,
         "lambda_normal_consistency": 0.1, "lambda_opacity_entropy": 0.05,
         "lambda_depth_var": 0.0, "lidar_decay": 0.0,
+        "raydrop_prior_lr": 0.1,
         "iterations": 1000, "position_lr_init": 1.6e-4,
         "position_lr_final": 1.6e-6, "position_lr_delay_mult": 0.01,
         "t_lr_init": 8e-4, "feature_lr": 2.5e-3, "opacity_lr": 5e-3,
@@ -137,18 +202,19 @@ def dryrun_multichip(n_devices: int) -> None:
     params, aux = G.create_from_pcd(pts, colors, None, cfg, capacity=4096)
 
     from gslidar_tpu.models.raydrop_prior import init_raydrop_prior
-    prior = init_raydrop_prior(H, W)
-    opt = init_adam(params)
+    state = init_train_state(params, aux, init_raydrop_prior(H, W))
 
     step = make_parallel_train_step(args, cfg, settings,
                                     jnp.asarray([0, 0, 0, 1.0]), mesh)
     cams = _toy_camera_batch(n_devices, H, W)
     with mesh:
-        new_params, new_opt, loss = step(
-            params, opt, prior, aux.alive, cams,
-            jnp.asarray(100.0), jnp.asarray(3, jnp.int32))
+        new_state, loss, log = step(
+            state, cams, jnp.asarray(100.0), jnp.asarray(3, jnp.int32),
+            jnp.zeros(n_devices, jnp.float32), jnp.asarray(True))
         loss = float(loss)
     assert np.isfinite(loss), f"non-finite loss {loss}"
-    changed = float(jnp.max(jnp.abs(new_params["xyz"] - params["xyz"])))
+    changed = float(jnp.max(jnp.abs(new_state.params["xyz"]
+                                    - state.params["xyz"])))
     assert changed > 0, "parameters did not update"
+    assert float(jnp.max(new_state.aux.denom)) > 0, "no densify stats"
     print(f"dryrun_multichip({n_devices}): loss={loss:.5f} ok")

@@ -1,28 +1,45 @@
-"""Tile binning: scatter/cumsum duplication + one uint32 key sort.
+"""Tile binning: scatter/cumsum duplication + a 2/3-operand sort + gather.
 
 TPU-native replacement for the CUDA pipeline of prefix-sum ->
 duplicateWithKeys scatter -> 64-bit radix sort -> identifyTileRanges
 (reference: cuda_rasterizer/rasterizer_impl.cu:66-142,308-354).
 
-Performance notes (measured on v5e, P=1M, K=512k): jax.lax.sort of the
-K uint32 keys is ~2 ms; the memory engines are the cost. Scatters price
-by UPDATE count (~10 ns each, ~7.5 ns for collision-free SET) and
-gathers by ROW (~7.5 ms for K rows regardless of small width). So the
-slot->gaussian map g(k) — a non-decreasing step function — is built
-with ONE masked scatter-SET of gid-gaps at non-empty segment starts
-plus a cumsum (P updates), and every other per-slot quantity comes from
-ONE K-row gather ``per_g[gid]`` instead of further P-update scatters.
-The (tile, depth) key is a single uint32 ``tile << depth_bits |
-depth_q``; per-tile ranges come from a compare-sum (searchsorted's
-binary-search gathers are ~5x slower for the same [n_tiles+1] result).
+Performance model (slope-measured on v5e through dependent-chain
+microbenchmarks, scripts/microbench_engines.py — round-1 numbers
+measured via non-blocking dispatch were unreliable):
+
+  * row GATHERS price per row (~8.6 ms / 1M rows) and are WIDTH-FREE up
+    to tens of f32 columns; sorted indices and bf16 do not help;
+  * SCATTERS price per element (~5 ns/elem), so multi-column scatters
+    and wide segment_sums are ruinous;
+  * SORTS run fast and nearly payload-width-free (1M keys + 28 u32
+    payload columns ~ 0.8-1.5 ms; 2.5M ~ 4.6 ms) — BUT the XLA:TPU sort
+    COMPILES at ~10 s per operand (measured: 4 ops 22 s, 12 ops 113 s,
+    30 ops 637 s), and this environment has no persistent compilation
+    cache, so wide payload-carrying sorts are unusable: every train/eval
+    process would pay minutes of compile per shape. Sorts are therefore
+    capped at 2-3 operands and the payload is reordered by one
+    post-sort row gather instead;
+  * cumsums / compare-sums are ~free (0.07-0.2 ms / 1M).
+
+Hence the design: the slot->gaussian map g(k) — a non-decreasing step
+function — is built with ONE masked scatter-SET of gid-gaps at non-empty
+segment starts plus a cumsum (P updates); the per-slot binning words
+come from ONE K-row gather (width-free); the (tile, depth) uint32 keys
+are computed from the gathered words; ONE 2-operand (3 when the caller
+needs the inverse permutation for the backward) ``lax.sort`` orders
+(key, gid); and the render payload lands in tile-depth order with ONE
+row gather ``payload[gid_sorted]`` straight from the [P, D] table.
+Per-tile ranges come from a compare-sum (searchsorted's binary-search
+gathers are ~5x slower for the same [n_tiles+1] result).
 
 Static shapes: the instance list is padded to ``settings.pair_cap``;
-overflow is dropped and counted.
+overflow is dropped and counted (num_dropped).
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -36,6 +53,20 @@ class Binning(NamedTuple):
     tile_starts: jnp.ndarray    # [num_tiles + 1] int32 range starts
     num_pairs: jnp.ndarray      # [] int32 actual instances (pre-clip)
     num_dropped: jnp.ndarray    # [] int32 instances dropped by the cap
+    data_rows: Optional[jnp.ndarray] = None     # [K, D] payload rows in
+                                # tile-depth order (one post-sort row
+                                # gather from the [P, D] table)
+    gid_slot: Optional[jnp.ndarray] = None      # [K] int32 pre-sort
+                                # slot -> gaussian map (gaussian-major
+                                # expansion order; run ids for the
+                                # backward's contiguous-run reduction)
+    inv_perm: Optional[jnp.ndarray] = None      # [K] int32 inverse sort
+                                # permutation: inv_perm[s] = sorted
+                                # position of pre-sort slot s (the
+                                # backward gathers its per-instance grad
+                                # rows back to gaussian-major order with
+                                # it — a 1-column scatter + row gather
+                                # instead of a wide grad re-sort)
 
 
 def _segment_broadcast_i32(vals: jnp.ndarray, starts: jnp.ndarray,
@@ -52,7 +83,19 @@ def _segment_broadcast_i32(vals: jnp.ndarray, starts: jnp.ndarray,
 
 
 def bin_gaussians(rect_min, rect_max, depth, tiles_touched,
-                  scale_factor, settings: RasterSettings) -> Binning:
+                  scale_factor, settings: RasterSettings,
+                  payload: Optional[jnp.ndarray] = None,
+                  with_slots: bool = False) -> Binning:
+    """Duplicate gaussians into per-tile instance lists, sorted by
+    (tile, quantized depth).
+
+    Args:
+        payload: optional [P, D] f32 per-gaussian rows; returned
+            reordered into instance order as ``data_rows`` [K, D] via a
+            post-sort row gather.
+        with_slots: also return the pre-sort gid map and the inverse
+            sort permutation (the backward's reduction needs both).
+    """
     P = depth.shape[0]
     K = settings.pair_cap
     n_tiles = settings.num_tiles
@@ -79,9 +122,7 @@ def bin_gaussians(rect_min, rect_max, depth, tiles_touched,
     # gid-gap to the previous *visible* gaussian at each non-empty segment
     # start (starts of non-empty segments are strictly increasing, so SET
     # has no collisions, unlike the naive diff trick which needs ADD to
-    # absorb empty segments). Measured: scatter-set of P updates 7.5 ms vs
-    # scatter-add 10.2 ms; everything else per-slot comes from a single
-    # K-row gather (7.5 ms) instead of two more P-update scatters (20 ms).
+    # absorb empty segments).
     vis = tiles_touched > 0
     gidx = jnp.arange(P, dtype=jnp.int32)
     last_vis = jax.lax.associative_scan(jnp.maximum,
@@ -92,20 +133,20 @@ def bin_gaussians(rect_min, rect_max, depth, tiles_touched,
     seeded = jnp.zeros(K, jnp.int32).at[starts_m].set(gap, mode="drop")
     gid = jnp.cumsum(seeded)
 
-    slots = jnp.arange(K, dtype=jnp.int32)
+    # ONE row gather brings the binning words to slots (width-free)
     w0 = offsets * 128 + jnp.minimum(rw, 127)
-    per_g = jnp.stack([w0, rmin_tile, dq], axis=1)          # [P, 3]
-    ws = per_g[gid]                                         # one row gather
+    ws = jnp.stack([w0, rmin_tile, dq], axis=1)[gid]           # [K, 3]
     w0_s, rmin_tile_s, dq_s = ws[:, 0], ws[:, 1], ws[:, 2]
     offs_s = w0_s // 128
     rw_s = w0_s - offs_s * 128
 
+    slots = jnp.arange(K, dtype=jnp.int32)
     j = slots - offs_s
     dy = j // rw_s
     if settings.wrap_x:
         # circular x: rect columns wrap modulo tiles_x (preprocess stores
-        # rect_min_x normalized into [0, tiles_x) and width <= tiles_x, so
-        # one conditional subtract replaces the mod)
+        # rect_min_x in [0, tiles_x) and width <= tiles_x, so one
+        # conditional subtract replaces the mod)
         gx = settings.tiles_x
         y0 = rmin_tile_s // gx
         x0 = rmin_tile_s - y0 * gx
@@ -119,11 +160,26 @@ def bin_gaussians(rect_min, rect_max, depth, tiles_touched,
     key = ((tile.astype(jnp.uint32) << jnp.uint32(depth_bits))
            | dq_s.astype(jnp.uint32))
 
-    key_s, gid_s = jax.lax.sort((key, gid), dimension=0, num_keys=1)
+    # ONE narrow sort — operand count is strictly limited because the
+    # XLA:TPU sort compiles at ~10 s/operand (module docstring)
+    operands = (key, gid, slots) if with_slots else (key, gid)
+    out = jax.lax.sort(operands, dimension=0, num_keys=1, is_stable=True)
+    key_s, gid_s = out[0], out[1]
+    if with_slots:
+        # slot_s is a permutation of [0, K) (pad slots ride the sort too),
+        # so the inverting scatter-SET is collision-free
+        inv_perm = jnp.zeros(K, jnp.int32).at[out[2]].set(slots)
+    else:
+        inv_perm = None
+    # payload lands in sorted instance order with ONE row gather from the
+    # [P, D] table (pad slots carry a clamped-but-valid gid; the kernel
+    # masks them off via tile_starts)
+    data_rows_s = payload[gid_s] if payload is not None else None
+
     tile_s = (key_s >> jnp.uint32(depth_bits)).astype(jnp.int32)
     # per-tile range starts: starts[t] = #(tile_s < t). A compare-sum over
-    # the [n_tiles+1, K] broadcast is ~2 ms where jnp.searchsorted's
-    # binary-search gathers cost ~9 ms for the same result.
+    # the [n_tiles+1, K] broadcast beats jnp.searchsorted's binary-search
+    # gathers ~5x for the same result.
     tile_starts = jnp.sum(
         tile_s[None, :] < jnp.arange(n_tiles + 1, dtype=jnp.int32)[:, None],
         axis=1).astype(jnp.int32)
@@ -134,4 +190,18 @@ def bin_gaussians(rect_min, rect_max, depth, tiles_touched,
         tile_starts=tile_starts,
         num_pairs=cum[-1],
         num_dropped=jnp.maximum(cum[-1] - K, 0),
+        data_rows=data_rows_s,
+        gid_slot=gid if with_slots else None,
+        inv_perm=inv_perm,
     )
+
+
+def data_chunks(binning: Binning, chunk: int, d_pad: int) -> jnp.ndarray:
+    """[K // chunk, d_pad, chunk] sorted payload in the pallas kernel's
+    chunk-table layout (fields on sublanes, instances on lanes)."""
+    rows = binning.data_rows
+    K, D = rows.shape
+    assert K % chunk == 0 and D <= d_pad
+    if D < d_pad:
+        rows = jnp.pad(rows, ((0, 0), (0, d_pad - D)))
+    return rows.reshape(K // chunk, chunk, d_pad).transpose(0, 2, 1)

@@ -1,25 +1,38 @@
-"""Pallas TPU backward compositing kernel.
+"""Pallas TPU backward compositing kernel (forward-walking).
 
-Replaces the CUDA backward render kernel (cuda_rasterizer/backward.cu:137-515)
-with the same loop-free structure as the forward (pallas_fwd.py): the
-(tile, chunk) walk is the 2-D grid — chunks visited in REVERSE — and every
-sequential recurrence of the CUDA kernel becomes a prefix/suffix sum:
+Replaces the CUDA backward render kernel (cuda_rasterizer/backward.cu:137-515).
+Unlike the CUDA kernel (and the round-1 version), the walk direction is
+FORWARD — the same compacted 1-D grid as pallas_fwd — because every
+back-to-front suffix the CUDA kernel accumulates can be rewritten as
+``total - inclusive_prefix`` using the tile totals the forward pass
+already produced (its output accumulators: per-channel sums, depth sums,
+distortion moments M1/M2, and the accepted-weight total):
 
-* transmittance is reconstructed in LOG space (prefix sums of log(1-a)),
-  which is stabler than the CUDA back-to-front division chain
-  (backward.cu:341) for deeply-occluded pixels;
-* the suffix blends accum_rec / accum_depth_rec (backward.cu:353,409) are
-  suffix sums S_k = sum_{i>k} w_i x_i combined with a carry across chunks:
-  (x_k - accum_rec_k) * T_k == T_k x_k - S_k / (1 - a_k);
+* accum_rec (backward.cu:353,409): dL contribution per instance is
+  g * (x_k - S_k / (T_k u_k)) with S_k = sum_{i>k} w_i x_i
+  = TOTAL_x - prefix_incl_k;
 * the distortion chain last_dL_dT (backward.cu:372-380) unrolls to
-  X_{k+1} = (sum_{i>k} a_i b_i T_i) / (T_k u_k) — one more suffix sum;
-* per-instance gradients are written to this instance's OWN slot in a
-  [n_rows, D_PAD, CHUNK] gradient table — no atomics; the per-gaussian
-  reduction is a deterministic segment_sum outside the kernel.
+  X_{k+1} = SabT_k / (T_k u_k) with SabT_k = sum_{i>k} a_i b_i T_i
+  = TOT_abT - prefix_incl_k, and
+  TOT_abT = gDist * (M2_tot * W_tot + A_fin * M2_tot - 2 * M1_tot^2);
+* transmittance T_k is reconstructed by the SAME forward prefix products
+  as the forward kernel — bitwise-identical rounding, no log-space
+  approximation.
+
+Forward-walking makes the gradient table write trivially race-free: the
+step -> data-row map is globally non-decreasing, so all steps touching
+one row are consecutive and the kernel ACCUMULATES into its output block
+(reset on the first touch) — pallas keeps the block in VMEM across
+consecutive same-index steps and flushes it when the index moves on. The
+per-gaussian reduction then happens outside (pallas_op.py) without any
+scatter: sort the grads back to gaussian-major slot order (payload-
+carrying sorts are ~free on TPU) and segment-sum contiguous runs with a
+blocked MXU matmul — replacing both CUDA atomicAdds (backward.cu:361,
+451-512) and XLA's per-element-priced scatter-add, deterministically.
 
 Gradient semantics follow the XLA compositor (and hence jax.grad): the
-alpha clamp at 0.99 stops gradients (the CUDA backward ignores the clamp);
-the S extra feature channels do not backprop into alpha
+alpha clamp at 0.99 stops gradients (the CUDA backward ignores the
+clamp); the S extra feature channels do not backprop into alpha
 (backward.cu:393-400).
 """
 
@@ -32,31 +45,30 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gslidar_tpu.raster.pallas_fwd import CHUNK, D_PAD, _prefix_sum
+from gslidar_tpu.raster.pallas_fwd import (CHUNK, D_PAD, _prefix_mul,
+                                           _prefix_sum, step_layout)
 from gslidar_tpu.raster.settings import (ALPHA_EPS, FILTER_INV_SQUARE,
                                          MAX_ALPHA, RasterSettings, T_STOP)
 
 _F_CX, _F_CY, _F_RC, _F_N0, _F_OPA, _F_COL = 9, 10, 11, 12, 15, 16
 
 
-def _suffix_from_prefix(incl, n=CHUNK):
-    """S_k = sum_{i>k} given INCLUSIVE prefix sums along sublanes."""
-    total = incl[n - 1:n, :]
-    return total - incl
-
-
-def _bwd_kernel(start_chunks_ref, counts_ref, done_ref,  # scalar prefetch
+def _bwd_kernel(chunk_tile_ref, step_starts_ref, tile_starts_ref, row0_ref,
+                first_touch_ref, done_ref,    # scalar prefetch
                 chunk_ref,                    # [1, D_PAD, CHUNK] fwd data
                 params_ref,                   # SMEM [8]
-                gC_ref, gF_ref, gD4_ref, misc_ref,   # cotangents + residuals
+                gC_ref, gF_ref, gD4_ref,      # cotangent blocks
+                colT_ref, featT_ref, depT_ref, misc_ref,   # fwd totals
                 grad_ref,                     # OUT [1, D_PAD, CHUNK]
                 state_ref,                    # VMEM scratch [NSB, 1, pix]
-                *, settings: RasterSettings, C: int, S: int, n_chunks: int):
-    t = pl.program_id(0)
-    cr = pl.program_id(1)                      # reverse step index
+                *, settings: RasterSettings, C: int, S: int, n_tiles: int):
+    i = pl.program_id(0)
+    t = chunk_tile_ref[i]
+    valid_step = t < n_tiles
+    ts = jnp.minimum(t, n_tiles - 1)
     th, tw = settings.tile_h, settings.tile_w
     pix = th * tw
-    # state rows: 0 logT_end, 1 SabT, 2 Sd, 3 Sd2, 4.. Sc[C], 4+C.. Sn[3]
+    # state rows: 0 T_carry, 1 PabT, 2 Pd, 3 Pd2, 4.. Pc[C], 4+C.. Pn[3]
     NSB = 4 + C + 3
 
     near = params_ref[0]
@@ -65,33 +77,35 @@ def _bwd_kernel(start_chunks_ref, counts_ref, done_ref,  # scalar prefetch
     HFOV_min, HFOV_max = params_ref[4], params_ref[5]
     H, W = settings.height, settings.width
 
-    count = counts_ref[t]
-    done = done_ref[t]
-    c = done - 1 - cr                          # forward chunk index
-    active = c >= 0
+    c = i - step_starts_ref[ts]
+    first = (c == 0) & valid_step
+    start = tile_starts_ref[ts]
+    end = tile_starts_ref[ts + 1]
+    slot0 = (row0_ref[ts] + c) * CHUNK
+    done = done_ref[ts]
+    first_touch = first_touch_ref[i] != 0
 
-    ty = t // settings.tiles_x
-    tx = jax.lax.rem(t, settings.tiles_x)
+    ty = ts // settings.tiles_x
+    tx = jax.lax.rem(ts, settings.tiles_x)
     pix_i = jax.lax.broadcasted_iota(jnp.int32, (1, pix), 1)
     py = (ty * th + pix_i // tw).astype(jnp.float32)
     px = (tx * tw + jax.lax.rem(pix_i, tw)).astype(jnp.float32)
+    inside = (px < W) & (py < H)
     phi = px * (HFOV_max - HFOV_min) / W + HFOV_min
     theta = py * (VFOV_max - VFOV_min) / H + VFOV_min
     sp, cp = jnp.sin(phi), jnp.cos(phi)
     st, ct = jnp.sin(theta), jnp.cos(theta)
 
-    T_fin = misc_ref[0, 0]
-    med_pos = misc_ref[0, 2]
-    M1_tot = misc_ref[0, 3]
-    M2_tot = misc_ref[0, 4]
-
-    @pl.when(cr == 0)
+    @pl.when(first)
     def _():
-        state_ref[0] = jnp.log(jnp.maximum(T_fin, 1e-37))
-        for i in range(1, NSB):
-            state_ref[i] = jnp.zeros((1, pix), jnp.float32)
+        state_ref[0] = jnp.where(inside, 1.0, 0.0)
+        for i_ in range(1, NSB):
+            state_ref[i_] = jnp.zeros((1, pix), jnp.float32)
 
-    @pl.when(jnp.logical_not(active))
+    T_carry = state_ref[0]
+    active = valid_step & (c < done) & (slot0 < end)
+
+    @pl.when(first_touch)
     def _():
         grad_ref[0] = jnp.zeros((D_PAD, CHUNK), jnp.float32)
 
@@ -140,71 +154,73 @@ def _bwd_kernel(start_chunks_ref, counts_ref, done_ref,  # scalar prefetch
         alpha_raw = opa * G
         alpha = jnp.minimum(MAX_ALPHA, alpha_raw)
         inst = jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 0)
-        in_cnt = inst < (count - c * CHUNK)
+        slot = slot0 + inst
+        in_cnt = (slot >= start) & (slot < end)
         ok = (in_cnt & p3ok & (depth >= near) & (depth <= far)
               & (alpha >= ALPHA_EPS))
         a = jnp.where(ok, alpha, 0.0)
         d_safe = jnp.where(ok, depth, far)
         u = 1.0 - a
-        logu = jnp.log(u)
 
-        # log-space transmittance reconstruction: carry holds log T at the
-        # END of this chunk (walk is reverse)
-        incl_logu = _prefix_sum(logu, CHUNK)
-        chunk_log = incl_logu[CHUNK - 1:CHUNK, :]
-        logT_entry = state_ref[0] - chunk_log
-        logT_k = logT_entry + (incl_logu - logu)   # exclusive prefix
-        T_k = jnp.exp(logT_k)
+        # exact forward transmittance reconstruction (prefix products,
+        # identical rounding to pallas_fwd)
+        incl = _prefix_mul(u, CHUNK)
+        T_k = T_carry * (incl / u)             # exclusive prefix * carry
         test_T = T_k * u
         accept = ok & (test_T >= T_STOP)
         w = jnp.where(accept, a * T_k, 0.0)
-        u_safe = jnp.where(accept, u, 1.0)
+        inv_Tu = jnp.where(accept, 1.0 / (T_k * u), 0.0)
 
-        # ---- cotangents (per pixel rows) --------------------------------
+        # ---- totals & cotangents (per pixel rows) ------------------------
+        T_fin = misc_ref[0, 0]
+        med_pos = misc_ref[0, 2]
+        M1_tot = misc_ref[0, 3]
+        M2_tot = misc_ref[0, 4]
+        W_tot = misc_ref[0, 6]
+        gTfin = misc_ref[0, 7]     # T_fin cotangent (slot 7, see pallas_op)
         gD = gD4_ref[0, 0]
         gMed = gD4_ref[0, 1]
         gDist = gD4_ref[0, 2]
         gD2 = gD4_ref[0, 3]
-        gTfin = misc_ref[0, 5]     # passed through misc slot 5 (see op)
 
-        # ---- core = sum over outputs of g * (x_k - suffix/(T_k u_k)) ----
-        inv_Tu = jnp.where(accept, jnp.exp(-(logT_k + logu)), 0.0)
+        # ---- core = sum over outputs of g * (x_k - suffix * inv_Tu) -----
         core = jnp.zeros_like(a)
 
         for ci in range(C):
             gc = gC_ref[0, ci]
             c_val = row(_F_COL + ci)
-            incl = _prefix_sum(w * c_val, CHUNK)
-            Sc = _suffix_from_prefix(incl) + state_ref[4 + ci]
+            P_inc = state_ref[4 + ci] + _prefix_sum(w * c_val, CHUNK)
+            Sc = colT_ref[0, ci] - P_inc
             core = core + gc * (c_val - Sc * inv_Tu)
-            state_ref[4 + ci] = state_ref[4 + ci] + incl[CHUNK - 1:CHUNK, :]
+            state_ref[4 + ci] = P_inc[CHUNK - 1:CHUNK, :]
         for ni in range(3):
             gn = gF_ref[0, S + ni]
             n_val = row(_F_N0 + ni)
-            incl = _prefix_sum(w * n_val, CHUNK)
-            Sn = _suffix_from_prefix(incl) + state_ref[4 + C + ni]
+            P_inc = state_ref[4 + C + ni] + _prefix_sum(w * n_val, CHUNK)
+            Sn = featT_ref[0, S + ni] - P_inc
             core = core + gn * (n_val - Sn * inv_Tu)
-            state_ref[4 + C + ni] = state_ref[4 + C + ni] + incl[CHUNK - 1:CHUNK, :]
-        incl_d = _prefix_sum(w * d_safe, CHUNK)
-        Sd = _suffix_from_prefix(incl_d) + state_ref[2]
+            state_ref[4 + C + ni] = P_inc[CHUNK - 1:CHUNK, :]
+        P_inc = state_ref[2] + _prefix_sum(w * d_safe, CHUNK)
+        Sd = depT_ref[0, 0] - P_inc
         core = core + gD * (d_safe - Sd * inv_Tu)
-        state_ref[2] = state_ref[2] + incl_d[CHUNK - 1:CHUNK, :]
-        incl_d2 = _prefix_sum(w * d_safe * d_safe, CHUNK)
-        Sd2 = _suffix_from_prefix(incl_d2) + state_ref[3]
+        state_ref[2] = P_inc[CHUNK - 1:CHUNK, :]
+        P_inc = state_ref[3] + _prefix_sum(w * d_safe * d_safe, CHUNK)
+        Sd2 = depT_ref[0, 3] - P_inc
         core = core + gD2 * (d_safe * d_safe - Sd2 * inv_Tu)
-        state_ref[3] = state_ref[3] + incl_d2[CHUNK - 1:CHUNK, :]
+        state_ref[3] = P_inc[CHUNK - 1:CHUNK, :]
 
         # distortion (backward.cu:372-380): b_k from totals; the last_dL_dT
-        # chain X_{k+1} = SabT_k * inv(T_k u_k)
+        # chain X_{k+1} = SabT_k * inv(T_k u_k), SabT_k = TOT_abT - prefix
         m = far / (far - near) * (1.0 - near / d_safe)
         A_fin = 1.0 - T_fin
         b = gDist * (M2_tot + m * m * A_fin - 2.0 * m * M1_tot)
-        abT = jnp.where(accept, a * b * T_k, 0.0)
-        incl_ab = _prefix_sum(abT, CHUNK)
-        SabT = _suffix_from_prefix(incl_ab) + state_ref[1]
-        X_next = SabT * inv_Tu
-        core = core + (b - X_next)
-        state_ref[1] = state_ref[1] + incl_ab[CHUNK - 1:CHUNK, :]
+        TOT_abT = gDist * (M2_tot * W_tot + A_fin * M2_tot
+                           - 2.0 * M1_tot * M1_tot)
+        P_inc = state_ref[1] + _prefix_sum(jnp.where(accept, w * b, 0.0),
+                                           CHUNK)
+        SabT = TOT_abT - P_inc
+        core = core + (b - SabT * inv_Tu)
+        state_ref[1] = P_inc[CHUNK - 1:CHUNK, :]
 
         # the T_fin path applies to every OK instance (T keeps decaying
         # past the 1e-4 floor in the forward), not only accepted ones
@@ -215,7 +231,7 @@ def _bwd_kernel(start_chunks_ref, counts_ref, done_ref,  # scalar prefetch
         # ---- depth cotangent per instance -------------------------------
         dmd_dd = (far * near) / ((far - near) * d_safe * d_safe)
         dL_dmd = 2.0 * w * (m * A_fin - M1_tot) * gDist
-        pos1 = (c * CHUNK + 1 + inst).astype(jnp.float32)
+        pos1 = (slot - start + 1).astype(jnp.float32)
         med_hit = accept & (pos1 == med_pos)
         dL_dd = (w * (gD + 2.0 * d_safe * gD2)
                  + jnp.where(med_hit, gMed, 0.0)
@@ -281,59 +297,77 @@ def _bwd_kernel(start_chunks_ref, counts_ref, done_ref,  # scalar prefetch
         while len(cols) < D_PAD:
             cols.append(jnp.zeros_like(cols[0]))
         grad_rows = jnp.concatenate(cols, axis=1)          # [CHUNK, D_PAD]
-        grad_ref[0] = grad_rows.T
+        grad_ref[0] = grad_ref[0] + grad_rows.T
 
-        state_ref[0] = logT_entry                           # walk backward
+        state_ref[0] = T_carry * incl[CHUNK - 1:CHUNK, :]
 
 
-def run_backward(data, start_chunks, counts, done, params, cts,
-                 misc_resid, settings: RasterSettings, C: int, S: int):
+def run_backward(data, tile_starts, done, params, cts, totals,
+                 settings: RasterSettings, C: int, S: int):
     """Launch the backward kernel.
 
     Args:
-        data: [n_rows, D_PAD, CHUNK] forward chunk table (+ its padding).
+        data: [n_rows, D_PAD, CHUNK] forward chunk table.
+        done: [n_tiles] int32 chunks the forward actually processed.
         cts: (gC [n_tiles,C,1,pix], gF [n_tiles,S+3,1,pix],
               gD4 [n_tiles,4,1,pix]).
-        misc_resid: [n_tiles, 6, 1, pix] rows (T_fin, ncon, med_pos, M1,
-            M2, gTfin) — note slot 5 carries the T_fin COTANGENT.
+        totals: (colorT, featT, depthT, misc8) forward outputs; misc8
+            slot 7 must carry the T_fin COTANGENT (see pallas_op).
     Returns:
-        grad table [n_rows + 1, D_PAD, CHUNK] (last row = inactive dummy).
+        grad table [n_rows + 1, D_PAD, CHUNK] (last row = tail dummy).
     """
     n_tiles = settings.num_tiles
     th, tw = settings.tile_h, settings.tile_w
     pix = th * tw
-    n_chunks = max(settings.tile_list_cap // CHUNK, 1)
     n_rows = data.shape[0]
-    data_ext = jnp.concatenate(
-        [data, jnp.zeros((1,) + data.shape[1:], data.dtype)], axis=0)
+    K = n_rows * CHUNK
+
+    chunk_tile, step_starts, row0 = step_layout(tile_starts, K, n_tiles)
+    n_steps_cap = chunk_tile.shape[0]
+    ct_c = jnp.minimum(chunk_tile, n_tiles - 1)
+    step_row = jnp.where(chunk_tile < n_tiles,
+                         row0[ct_c] + (jnp.arange(n_steps_cap, dtype=jnp.int32)
+                                       - step_starts[ct_c]),
+                         n_rows)
+    first_touch = jnp.concatenate(
+        [jnp.ones(1, jnp.int32),
+         (step_row[1:] != step_row[:-1]).astype(jnp.int32)])
 
     gC, gF, gD4 = cts
+    colT, featT, depT, misc8 = totals
     NSB = 4 + C + 3
     kernel = functools.partial(_bwd_kernel, settings=settings, C=C, S=S,
-                               n_chunks=n_chunks)
+                               n_tiles=n_tiles)
 
-    def in_row(t, c, starts, cnts, dn):
-        cc = dn[t] - 1 - c
-        return jnp.where(cc >= 0,
-                         jnp.minimum(starts[t] + cc, n_rows - 1),
-                         n_rows)
+    def in_row(i, ct, ss, _tstarts, r0, _ft, _dn):
+        t = jnp.minimum(ct[i], n_tiles - 1)
+        return (jnp.clip(r0[t] + (i - ss[t]), 0, n_rows - 1), 0, 0)
+
+    def tile_idx(i, ct, *_):
+        return (jnp.minimum(ct[i], n_tiles - 1), 0, 0, 0)
+
+    def out_row(i, ct, ss, _tstarts, r0, _ft, _dn):
+        t = ct[i]
+        tc = jnp.minimum(t, n_tiles - 1)
+        return (jnp.where(t < n_tiles,
+                          jnp.clip(r0[tc] + (i - ss[tc]), 0, n_rows - 1),
+                          n_rows), 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(n_tiles, n_chunks),
+        num_scalar_prefetch=6,
+        grid=(n_steps_cap,),
         in_specs=[
-            pl.BlockSpec((1, D_PAD, CHUNK),
-                         lambda t, c, s_, n_, d_: (in_row(t, c, s_, n_, d_),
-                                                   0, 0)),
+            pl.BlockSpec((1, D_PAD, CHUNK), in_row),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, C, 1, pix), lambda t, c, *_: (t, 0, 0, 0)),
-            pl.BlockSpec((1, S + 3, 1, pix), lambda t, c, *_: (t, 0, 0, 0)),
-            pl.BlockSpec((1, 4, 1, pix), lambda t, c, *_: (t, 0, 0, 0)),
-            pl.BlockSpec((1, 6, 1, pix), lambda t, c, *_: (t, 0, 0, 0)),
+            pl.BlockSpec((1, C, 1, pix), tile_idx),
+            pl.BlockSpec((1, S + 3, 1, pix), tile_idx),
+            pl.BlockSpec((1, 4, 1, pix), tile_idx),
+            pl.BlockSpec((1, C, 1, pix), tile_idx),
+            pl.BlockSpec((1, S + 3, 1, pix), tile_idx),
+            pl.BlockSpec((1, 4, 1, pix), tile_idx),
+            pl.BlockSpec((1, 8, 1, pix), tile_idx),
         ],
-        out_specs=pl.BlockSpec(
-            (1, D_PAD, CHUNK),
-            lambda t, c, s_, n_, d_: (in_row(t, c, s_, n_, d_), 0, 0)),
+        out_specs=pl.BlockSpec((1, D_PAD, CHUNK), out_row),
         scratch_shapes=[pltpu.VMEM((NSB, 1, pix), jnp.float32)],
     )
     grad = pl.pallas_call(
@@ -342,6 +376,7 @@ def run_backward(data, start_chunks, counts, done, params, cts,
         out_shape=jax.ShapeDtypeStruct((n_rows + 1, D_PAD, CHUNK),
                                        jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
-    )(start_chunks, counts, done, data_ext, params, gC, gF, gD4, misc_resid)
+            dimension_semantics=("arbitrary",)),
+    )(chunk_tile, step_starts, tile_starts, row0, first_touch, done,
+      data, params, gC, gF, gD4, colT, featT, depT, misc8)
     return grad

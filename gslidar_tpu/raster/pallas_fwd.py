@@ -5,14 +5,19 @@ constraints discovered on this TPU stack: in-kernel ``lax.fori_loop`` /
 ``while_loop`` make the Mosaic compiler pathologically slow, and dynamic
 lane indexing is unsupported — so the kernel contains NO loops at all:
 
-* the (tile, chunk) iteration is the 2-D pallas GRID; per-tile chunk
-  offsets come from scalar-prefetched, CHUNK-aligned segment starts and
-  feed the input-block index map, so the pallas pipeline does all the
-  DMA/double-buffering;
+* the grid is ONE dimension over the COMPACTED global chunk list: tile
+  t's sorted instance range [start_t, end_t) is covered by the data rows
+  floor(start_t/CHUNK) .. ceil(end_t/CHUNK)-1 read UNALIGNED (instances
+  outside the range are masked off; a boundary row shared by two tiles is
+  simply read twice). Scalar-prefetched arrays map grid step -> (tile,
+  data row). Unlike a (tiles, max_chunks) grid there are no wasted steps
+  for short tiles and NO per-tile list cap — every instance that
+  survives ``pair_cap`` is composited, exactly like the CUDA kernel
+  (rasterizer_impl.cu:308-354 sizes exactly);
 * per-tile compositing state (transmittance, channel accumulators,
   distortion moments, median bookkeeping) lives in VMEM scratch that
-  persists across grid steps; it is reset when chunk==0 and flushed to
-  the output blocks at the last chunk;
+  persists across grid steps; it is reset on the tile's first step and
+  flushed to the output blocks on its last;
 * within a chunk the CUDA per-instance walk (forward.cu:392-484) is
   vectorized: instances live on the SUBLANE axis, pixels on lanes, and
   the front-to-back transmittance is an inclusive prefix-product computed
@@ -23,9 +28,11 @@ lane indexing is unsupported — so the kernel contains NO loops at all:
   single predicate — the early-out the CUDA kernel gets from
   __syncthreads_count.
 
-Data layout: instances are re-packed per chunk as [n_chunks, D_PAD, CHUNK]
-(fields on sublanes, instances on lanes) so a block fetch is one aligned
-row and no in-kernel transposes are needed.
+Data layout: one post-sort row gather lands the per-gaussian payload in
+instance order (binning.py), and the chunk table is one streaming
+transpose [K, D] -> [K/CHUNK, D_PAD, CHUNK] (fields on sublanes,
+instances on lanes) so a block fetch is aligned rows with no in-kernel
+transposes.
 """
 
 from __future__ import annotations
@@ -38,21 +45,31 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gslidar_tpu.raster.binning import Binning, _segment_broadcast_i32
+from gslidar_tpu.raster.binning import Binning, data_chunks
 from gslidar_tpu.raster.settings import (ALPHA_EPS, FAR_N, FILTER_INV_SQUARE,
                                          MAX_ALPHA, NEAR_N, RasterSettings,
                                          T_STOP)
 
 CHUNK = 128          # instances per grid step (= lane width)
-D_PAD = 24           # padded field count (D = 20 + C + S; 22 for C=4, S=4)
+D_PAD = 24           # padded field count (D = 20 + C + S; 24 for C=4, S=4)
 
-# field indices in the packed row (see composite_pallas packing)
+# field indices in the packed row (see pack_payload)
 _F_CX = 9
 _F_CY = 10
 _F_RC = 11
 _F_N0 = 12           # 12..14 normal
 _F_OPA = 15
 _F_COL = 16          # 16..16+C colors, then S features
+
+
+def pack_payload(prep, opacity, features):
+    """[P, 20 + C + S] per-gaussian payload rows for the binning sort.
+
+    Columns of T are component triples (forward.cu:385-387)."""
+    Tcols = prep.T.transpose(0, 2, 1).reshape(-1, 9)
+    return jnp.concatenate([
+        Tcols, prep.xy, prep.depth[:, None], prep.normal,
+        opacity[:, None], prep.color, features], axis=1)
 
 
 def _prefix_mul(x, n):
@@ -77,14 +94,40 @@ def _prefix_sum(x, n):
     return x
 
 
-def _kernel(start_chunks_ref, counts_ref,   # scalar prefetch [n_tiles]
+def step_layout(tile_starts: jnp.ndarray, K: int, n_tiles: int):
+    """Compacted grid bookkeeping (all int32, static shapes).
+
+    Returns (chunk_tile [n_steps_cap], step_starts [n_tiles + 1],
+    row0 [n_tiles + 1]) where n_steps_cap = K // CHUNK + n_tiles. Every
+    tile gets >= 1 step (so its output block is always written); tail
+    steps carry tile id n_tiles.
+    """
+    starts = tile_starts[:-1]
+    ends = tile_starts[1:]
+    row0 = starts // CHUNK
+    last_row = jnp.maximum((ends - 1) // CHUNK, row0)   # >= row0 when empty
+    n_steps = jnp.where(ends > starts, last_row - row0 + 1, 1)
+    step_starts = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(n_steps).astype(jnp.int32)])
+    n_steps_cap = K // CHUNK + n_tiles
+    sidx = jnp.arange(n_steps_cap, dtype=jnp.int32)
+    # tile of step i: #{t : step_starts[t+1] <= i} (compare-sum)
+    chunk_tile = jnp.sum(step_starts[1:][None, :] <= sidx[:, None],
+                         axis=1).astype(jnp.int32)
+    row0 = jnp.concatenate([row0, jnp.zeros(1, jnp.int32)])
+    return chunk_tile, step_starts, row0
+
+
+def _kernel(chunk_tile_ref, step_starts_ref, tile_starts_ref, row0_ref,
             chunk_ref,                      # VMEM block [1, D_PAD, CHUNK]
             params_ref,                     # SMEM [8]
             color_ref, feat_ref, depth_ref, misc_ref,   # out blocks
             state_ref,                      # VMEM scratch [NSC, 1, pix]
-            *, settings: RasterSettings, C: int, S: int, n_chunks: int):
-    t = pl.program_id(0)
-    c = pl.program_id(1)
+            *, settings: RasterSettings, C: int, S: int, n_tiles: int):
+    i = pl.program_id(0)
+    t = chunk_tile_ref[i]
+    valid_step = t < n_tiles
+    ts = jnp.minimum(t, n_tiles - 1)
     th, tw = settings.tile_h, settings.tile_w
     pix = th * tw
     NSC = 11 + C + S + 3
@@ -95,12 +138,16 @@ def _kernel(start_chunks_ref, counts_ref,   # scalar prefetch [n_tiles]
     HFOV_min, HFOV_max = params_ref[4], params_ref[5]
     H, W = settings.height, settings.width
 
-    count = counts_ref[t]
-    trip = (count + CHUNK - 1) // CHUNK
+    c = i - step_starts_ref[ts]
+    first = (c == 0) & valid_step
+    last = (i == step_starts_ref[ts + 1] - 1) & valid_step
+    start = tile_starts_ref[ts]
+    end = tile_starts_ref[ts + 1]
+    slot0 = (row0_ref[ts] + c) * CHUNK
 
     # pixel coords/trig as [1, pix] rows (pixels on lanes)
-    ty = t // settings.tiles_x
-    tx = jax.lax.rem(t, settings.tiles_x)
+    ty = ts // settings.tiles_x
+    tx = jax.lax.rem(ts, settings.tiles_x)
     pix_i = jax.lax.broadcasted_iota(jnp.int32, (1, pix), 1)
     py = (ty * th + pix_i // tw).astype(jnp.float32)
     px = (tx * tw + jax.lax.rem(pix_i, tw)).astype(jnp.float32)
@@ -110,14 +157,14 @@ def _kernel(start_chunks_ref, counts_ref,   # scalar prefetch [n_tiles]
     sp, cp = jnp.sin(phi), jnp.cos(phi)
     st, ct = jnp.sin(theta), jnp.cos(theta)
 
-    @pl.when(c == 0)
+    @pl.when(first)
     def _():
         state_ref[0] = jnp.where(inside, 1.0, 0.0)       # T
-        for i in range(1, NSC):
-            state_ref[i] = jnp.zeros((1, pix), jnp.float32)
+        for i_ in range(1, NSC):
+            state_ref[i_] = jnp.zeros((1, pix), jnp.float32)
 
     T_carry = state_ref[0]
-    active = (c < trip) & (jnp.max(T_carry) >= T_STOP)
+    active = valid_step & (jnp.max(T_carry) >= T_STOP) & (slot0 < end)
 
     @pl.when(active)
     def _():
@@ -168,7 +215,8 @@ def _kernel(start_chunks_ref, counts_ref,   # scalar prefetch [n_tiles]
         depth = jnp.where(use3d, depth3d, r_c)
         alpha = jnp.minimum(MAX_ALPHA, opa * jnp.exp(-0.5 * rho))
         inst = jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 0)
-        in_cnt = inst < (count - c * CHUNK)
+        slot = slot0 + inst
+        in_cnt = (slot >= start) & (slot < end)
         ok = (in_cnt & p3ok & (depth >= near) & (depth <= far)
               & (alpha >= ALPHA_EPS))
         a = jnp.where(ok, alpha, 0.0)
@@ -209,7 +257,7 @@ def _kernel(start_chunks_ref, counts_ref,   # scalar prefetch [n_tiles]
 
         # median depth: LAST accepted contribution with T_before > 0.5
         # (forward.cu:458-462); positions are exact in f32 (< 2^24)
-        pos1 = (c * CHUNK + 1 + inst).astype(jnp.float32)
+        pos1 = (slot - start + 1).astype(jnp.float32)
         med_mask = accept & (T_before > 0.5)
         score = jnp.where(med_mask, pos1, 0.0)
         best = jnp.max(score, axis=0, keepdims=True)
@@ -221,15 +269,19 @@ def _kernel(start_chunks_ref, counts_ref,   # scalar prefetch [n_tiles]
 
         nc = jnp.where(accept, pos1, 0.0)
         state_ref[8] = jnp.maximum(state_ref[8], jnp.max(nc, 0, keepdims=True))
+        # total accepted weight (sum w != 1 - T_fin because rejected-by-floor
+        # instances still decay T); the backward needs it for the distortion
+        # suffix total
+        state_ref[10] = state_ref[10] + jnp.sum(w, 0, keepdims=True)
 
         state_ref[0] = T_carry * incl[CHUNK - 1:CHUNK, :]
 
-    @pl.when(c == n_chunks - 1)
+    @pl.when(last)
     def _():
         for ci in range(C):
             color_ref[0, ci] = state_ref[11 + ci]
-        for i in range(S + 3):
-            feat_ref[0, i] = state_ref[11 + C + i]
+        for i_ in range(S + 3):
+            feat_ref[0, i_] = state_ref[11 + C + i_]
         depth_ref[0, 0] = state_ref[1]
         depth_ref[0, 1] = state_ref[6]
         depth_ref[0, 2] = state_ref[3]
@@ -240,94 +292,59 @@ def _kernel(start_chunks_ref, counts_ref,   # scalar prefetch [n_tiles]
         misc_ref[0, 3] = state_ref[4]    # M1 total (distortion residual)
         misc_ref[0, 4] = state_ref[5]    # M2 total
         misc_ref[0, 5] = state_ref[9]    # chunks processed
+        misc_ref[0, 6] = state_ref[10]   # total accepted weight sum(w)
+        misc_ref[0, 7] = jnp.zeros((1, pix), jnp.float32)
 
 
 class PallasTiles(NamedTuple):
-    color: jnp.ndarray    # [n_tiles, C, th, tw]
+    color: jnp.ndarray    # [n_tiles, C, 1, pix]
     feature: jnp.ndarray
     depth: jnp.ndarray
     misc: jnp.ndarray     # final_T, n_contrib, med_pos, M1, M2, chunks_done
 
 
-def chunk_layout(binning: Binning, packed: jnp.ndarray,
-                 settings: RasterSettings):
-    """Re-pack sorted instances as [n_chunk_rows, D_PAD, CHUNK] with every
-    tile's segment starting on a chunk boundary. Returns
-    (data, start_chunks [n_tiles], counts [n_tiles])."""
-    K = binning.gid_sorted.shape[0]
-    n_tiles = settings.num_tiles
-    D = packed.shape[-1]
-    assert D <= D_PAD
+def run_forward(data, tile_starts, params, settings: RasterSettings,
+                C: int, S: int):
+    """Launch the forward kernel on a chunk table.
 
-    counts = (binning.tile_starts[1:] - binning.tile_starts[:-1]).astype(jnp.int32)
-    padded_counts = ((counts + CHUNK - 1) // CHUNK) * CHUNK
-    pad_starts = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32),
-         jnp.cumsum(padded_counts).astype(jnp.int32)])
-    n_chunk_rows = (K + n_tiles * CHUNK) // CHUNK        # static cap
-
-    slot_start = _segment_broadcast_i32(binning.tile_starts[:-1],
-                                        binning.tile_starts[:-1], K)
-    slot_pad_start = _segment_broadcast_i32(pad_starts[:-1],
-                                            binning.tile_starts[:-1], K)
-    new_pos = slot_pad_start + (jnp.arange(K, dtype=jnp.int32) - slot_start)
-    in_range = jnp.arange(K) < binning.tile_starts[-1]
-    new_pos = jnp.where(in_range, new_pos, n_chunk_rows * CHUNK)
-
-    gid_padded = jnp.full(n_chunk_rows * CHUNK, packed.shape[0], jnp.int32)
-    gid_padded = gid_padded.at[new_pos].set(binning.gid_sorted, mode="drop")
-    packed0 = jnp.concatenate([packed, jnp.zeros((1, D), packed.dtype)], 0)
-    rows = packed0[gid_padded]                           # [n*CHUNK, D]
-    if D < D_PAD:
-        rows = jnp.pad(rows, ((0, 0), (0, D_PAD - D)))
-    data = rows.reshape(n_chunk_rows, CHUNK, D_PAD).transpose(0, 2, 1)
-    return data, (pad_starts[:-1] // CHUNK).astype(jnp.int32), counts
-
-
-def composite_pallas_tiles(binning: Binning, packed: jnp.ndarray,
-                           scale_factor, settings: RasterSettings,
-                           S: int, C: int = 4,
-                           angle_bounds=None) -> PallasTiles:
+    Args:
+        data: [K // CHUNK, D_PAD, CHUNK] sorted payload chunk table.
+        tile_starts: [n_tiles + 1] int32 sorted instance range bounds.
+    """
     th, tw = settings.tile_h, settings.tile_w
     pix = th * tw
     n_tiles = settings.num_tiles
-    n_chunks = max(settings.tile_list_cap // CHUNK, 1)
-
-    data, start_chunks, counts = chunk_layout(binning, packed, settings)
     n_rows = data.shape[0]
+    K = n_rows * CHUNK
 
-    VFOV_min, VFOV_max, HFOV_min, HFOV_max = (
-        angle_bounds if angle_bounds is not None else settings.angle_bounds)
-    wrap_w = float(settings.width) if settings.wrap_x else 0.0
-    wrap_inv = 1.0 / wrap_w if settings.wrap_x else 0.0
-    params = jnp.stack([
-        jnp.asarray(NEAR_N * scale_factor, jnp.float32),
-        jnp.asarray(FAR_N * scale_factor, jnp.float32),
-        jnp.asarray(VFOV_min, jnp.float32), jnp.asarray(VFOV_max, jnp.float32),
-        jnp.asarray(HFOV_min, jnp.float32), jnp.asarray(HFOV_max, jnp.float32),
-        jnp.asarray(wrap_w, jnp.float32), jnp.asarray(wrap_inv, jnp.float32)])
+    chunk_tile, step_starts, row0 = step_layout(tile_starts, K, n_tiles)
+    n_steps_cap = chunk_tile.shape[0]
 
-    NSC = 11 + C + S + 3
     kernel = functools.partial(_kernel, settings=settings, C=C, S=S,
-                               n_chunks=n_chunks)
+                               n_tiles=n_tiles)
+
+    def in_row(i, ct, ss, _tstarts, r0):
+        t = jnp.minimum(ct[i], n_tiles - 1)
+        row = r0[t] + (i - ss[t])
+        return (jnp.clip(row, 0, n_rows - 1), 0, 0)
+
+    def out_idx(i, ct, *_):
+        return (jnp.minimum(ct[i], n_tiles - 1), 0, 0, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_tiles, n_chunks),
+        num_scalar_prefetch=4,
+        grid=(n_steps_cap,),
         in_specs=[
-            pl.BlockSpec((1, D_PAD, CHUNK),
-                         lambda t, c, starts, cnts: (
-                             jnp.minimum(starts[t] + c, n_rows - 1), 0, 0)),
+            pl.BlockSpec((1, D_PAD, CHUNK), in_row),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, C, 1, pix), lambda t, c, *_: (t, 0, 0, 0)),
-            pl.BlockSpec((1, S + 3, 1, pix), lambda t, c, *_: (t, 0, 0, 0)),
-            pl.BlockSpec((1, 4, 1, pix), lambda t, c, *_: (t, 0, 0, 0)),
-            pl.BlockSpec((1, 6, 1, pix), lambda t, c, *_: (t, 0, 0, 0)),
+            pl.BlockSpec((1, C, 1, pix), out_idx),
+            pl.BlockSpec((1, S + 3, 1, pix), out_idx),
+            pl.BlockSpec((1, 4, 1, pix), out_idx),
+            pl.BlockSpec((1, 8, 1, pix), out_idx),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((NSC, 1, pix), jnp.float32),
-        ],
+        scratch_shapes=[pltpu.VMEM((11 + C + S + 3, 1, pix), jnp.float32)],
     )
     color, feat, depth, misc = pl.pallas_call(
         kernel,
@@ -336,12 +353,34 @@ def composite_pallas_tiles(binning: Binning, packed: jnp.ndarray,
             jax.ShapeDtypeStruct((n_tiles, C, 1, pix), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, S + 3, 1, pix), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, 4, 1, pix), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 6, 1, pix), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 8, 1, pix), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
-    )(start_chunks, counts, data, params)
+            dimension_semantics=("arbitrary",)),
+    )(chunk_tile, step_starts, tile_starts, row0, data, params)
     return PallasTiles(color=color, feature=feat, depth=depth, misc=misc)
+
+
+def make_params(scale_factor, settings: RasterSettings, angle_bounds=None):
+    VFOV_min, VFOV_max, HFOV_min, HFOV_max = (
+        angle_bounds if angle_bounds is not None else settings.angle_bounds)
+    wrap_w = float(settings.width) if settings.wrap_x else 0.0
+    wrap_inv = 1.0 / wrap_w if settings.wrap_x else 0.0
+    return jnp.stack([
+        jnp.asarray(NEAR_N * scale_factor, jnp.float32),
+        jnp.asarray(FAR_N * scale_factor, jnp.float32),
+        jnp.asarray(VFOV_min, jnp.float32), jnp.asarray(VFOV_max, jnp.float32),
+        jnp.asarray(HFOV_min, jnp.float32), jnp.asarray(HFOV_max, jnp.float32),
+        jnp.asarray(wrap_w, jnp.float32), jnp.asarray(wrap_inv, jnp.float32)])
+
+
+def composite_pallas_tiles(binning: Binning, scale_factor,
+                           settings: RasterSettings, S: int, C: int = 4,
+                           angle_bounds=None) -> PallasTiles:
+    """Composite a payload-bearing binning (fast, non-diff path)."""
+    data = data_chunks(binning, CHUNK, D_PAD)
+    params = make_params(scale_factor, settings, angle_bounds)
+    return run_forward(data, binning.tile_starts, params, settings, C, S)
 
 
 def _untile4(x: jnp.ndarray, settings: RasterSettings) -> jnp.ndarray:
@@ -356,17 +395,18 @@ def _untile4(x: jnp.ndarray, settings: RasterSettings) -> jnp.ndarray:
 
 
 def composite_pallas(binning: Binning, prep, features, opacity, bg,
-                     scale_factor, settings: RasterSettings):
-    """Drop-in forward replacement for composite.composite (no grad)."""
+                     scale_factor, settings: RasterSettings,
+                     angle_bounds=None):
+    """Drop-in forward replacement for composite.composite (no grad).
+
+    Requires ``binning.data_rows`` (bin_gaussians called with
+    payload=pack_payload(...)).
+    """
     from gslidar_tpu.raster.composite import TileImages
-    Tcols = prep.T.transpose(0, 2, 1).reshape(-1, 9)
-    packed = jnp.concatenate([
-        Tcols, prep.xy, prep.depth[:, None], prep.normal,
-        opacity[:, None], prep.color, features], axis=1)
     S = features.shape[-1]
     C = prep.color.shape[-1]
-    tiles = composite_pallas_tiles(binning, packed, scale_factor, settings,
-                                   S=S, C=C)
+    tiles = composite_pallas_tiles(binning, scale_factor, settings,
+                                   S=S, C=C, angle_bounds=angle_bounds)
     T_fin = tiles.misc[:, 0:1]
     color = tiles.color + T_fin * bg[None, :, None, None]
     return TileImages(

@@ -1,11 +1,25 @@
 """Differentiable Pallas compositing op (custom_vjp).
 
-Forward: pallas_fwd kernel. Backward: pallas_bwd kernel producing a
-per-instance gradient table + one deterministic segment_sum back to
-per-gaussian gradients — the TPU replacement for the CUDA backward's
-atomicAdd scatters (backward.cu:361,451-512). Everything upstream of the
-packed per-gaussian rows (preprocess, SH, activations) is plain traced JAX
-and differentiates automatically.
+The custom_vjp boundary wraps the WHOLE bin -> sort -> composite
+pipeline, so the backward never differentiates through the sort or the
+payload reorder (whose VJPs would be per-element-priced scatters):
+
+* primal / fwd: bin_gaussians (scatter+cumsum gid map, a 2/3-operand
+  (key, gid[, slot]) sort, ONE post-sort payload row gather — wide
+  payload-carrying sorts are banned by the ~10 s/operand XLA:TPU sort
+  compile cost, see binning.py) then the forward kernel on the
+  compacted 1-D grid (pallas_fwd.py);
+* bwd: the forward-walking gradient kernel (pallas_bwd.py) writes a
+  per-data-row gradient table; grad rows are gathered BACK to
+  gaussian-major slot order through the inverse sort permutation (a
+  1-column scatter in the fwd + ONE row gather here — no re-sort), and
+  contiguous per-gaussian runs are reduced with a blocked MXU
+  segment-sum + an affine associative scan for runs crossing block
+  boundaries + ONE row gather at the segment heads. This replaces the
+  CUDA backward's atomicAdd scatters (backward.cu:361,451-512) and
+  jax.ops.segment_sum (whose TPU scatter-add prices per ELEMENT:
+  ~136 ms for 1M x 28 f32 vs ~15 ms for this path) — fully
+  deterministic.
 """
 
 from __future__ import annotations
@@ -15,166 +29,159 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from gslidar_tpu.raster.binning import Binning, _segment_broadcast_i32
+from gslidar_tpu.raster.binning import bin_gaussians, data_chunks
 from gslidar_tpu.raster.pallas_bwd import run_backward
-from gslidar_tpu.raster.pallas_fwd import CHUNK, D_PAD, _kernel
-from gslidar_tpu.raster.settings import FAR_N, NEAR_N, RasterSettings
+from gslidar_tpu.raster.pallas_fwd import (CHUNK, D_PAD, make_params,
+                                           run_forward)
+from gslidar_tpu.raster.settings import RasterSettings
 
 
-def layout_indices(binning: Binning, P: int, settings: RasterSettings):
-    """Chunk-aligned instance layout (int arrays only, non-differentiable).
+def segment_sum_runs(vals_rows, sid, heads, head_valid, P):
+    """Sum contiguous runs of rows sharing an id, reading totals at heads.
 
-    Returns (gid_padded [n_rows*CHUNK], start_chunks [n_tiles],
-    counts [n_tiles])."""
-    K = binning.gid_sorted.shape[0]
-    n_tiles = settings.num_tiles
-    counts = (binning.tile_starts[1:] - binning.tile_starts[:-1]).astype(jnp.int32)
-    padded_counts = ((counts + CHUNK - 1) // CHUNK) * CHUNK
-    pad_starts = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(padded_counts).astype(jnp.int32)])
-    n_rows = (K + n_tiles * CHUNK) // CHUNK
+    Args:
+        vals_rows: [K, D] f32 rows, runs contiguous.
+        sid: [K] int32 run id per row (constant within a run).
+        heads: [P] int32 first row of each output segment.
+        head_valid: [P] bool (False -> zero output row).
+    Returns:
+        [P, D] f32 per-segment totals.
 
-    slot_start = _segment_broadcast_i32(binning.tile_starts[:-1],
-                                        binning.tile_starts[:-1], K)
-    slot_pad_start = _segment_broadcast_i32(pad_starts[:-1],
-                                            binning.tile_starts[:-1], K)
-    new_pos = slot_pad_start + (jnp.arange(K, dtype=jnp.int32) - slot_start)
-    in_range = jnp.arange(K) < binning.tile_starts[-1]
-    new_pos = jnp.where(in_range, new_pos, n_rows * CHUNK)
+    Blocked MXU formulation: within each 128-row block, F = M @ V with
+    M[i,j] = (sid[i] == sid[j]) gives every row its run's WITHIN-BLOCK
+    total; runs crossing block boundaries are stitched with a first-order
+    affine recurrence d[b] = A_b d[b+1] + B_b solved by a reverse
+    associative scan, folded into the tail run of each block; one row
+    gather at ``heads`` reads the final totals.
+    """
+    K, D = vals_rows.shape
+    B = K // CHUNK
+    V = vals_rows.reshape(B, CHUNK, D)
+    S_id = sid.reshape(B, CHUNK)
 
-    gid_padded = jnp.full(n_rows * CHUNK, P, jnp.int32)
-    gid_padded = gid_padded.at[new_pos].set(binning.gid_sorted, mode="drop")
-    return gid_padded, (pad_starts[:-1] // CHUNK).astype(jnp.int32), counts
+    M = (S_id[:, :, None] == S_id[:, None, :]).astype(jnp.float32)
+    F = jnp.einsum("bij,bjd->bid", M, V,
+                   precision=jax.lax.Precision.HIGHEST)     # [B, CHUNK, D]
 
+    h = S_id[:, 0]
+    t_ = S_id[:, -1]
+    full = h == t_
+    head_sum = F[:, 0]                                       # [B, D]
 
-def _build_data(packed, gid_padded):
-    D = packed.shape[-1]
-    packed0 = jnp.concatenate([packed, jnp.zeros((1, D), packed.dtype)], 0)
-    rows = packed0[gid_padded]
-    if D < D_PAD:
-        rows = jnp.pad(rows, ((0, 0), (0, D_PAD - D)))
-    n_rows = gid_padded.shape[0] // CHUNK
-    return rows.reshape(n_rows, CHUNK, D_PAD).transpose(0, 2, 1)
+    # d[b] = continuation (from blocks > b) of the run open at b's END:
+    # d[b] = m_b * (head_sum[b+1] + full[b+1] * d[b+1]), m_b = h[b+1]==t[b]
+    m_b = (h[1:] == t_[:-1])
+    A = (m_b & full[1:]).astype(jnp.float32)[:, None]        # [B-1, 1]
+    Bv = jnp.where(m_b[:, None], head_sum[1:], 0.0)          # [B-1, D]
 
+    def combine(acc, cur):
+        # reverse associative_scan passes the LATER-suffix accumulation as
+        # the first argument; we want s[i] = f_i o s[i+1], i.e.
+        # (f_cur o f_acc)(x) = A_cur (A_acc x + B_acc) + B_cur
+        A_a, B_a = acc
+        A_c, B_c = cur
+        return A_c * A_a, B_c + A_c * B_a
 
-def _run_fwd(data, start_chunks, counts, params, settings, C, S):
-    import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
+    A_c, B_c = jax.lax.associative_scan(combine, (A, Bv), reverse=True)
+    d = jnp.concatenate([B_c, jnp.zeros((1, D), jnp.float32)], axis=0)
 
-    th, tw = settings.tile_h, settings.tile_w
-    pix = th * tw
-    n_tiles = settings.num_tiles
-    n_chunks = max(settings.tile_list_cap // CHUNK, 1)
-    n_rows = data.shape[0]
-    kernel = functools.partial(_kernel, settings=settings, C=C, S=S,
-                               n_chunks=n_chunks)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_tiles, n_chunks),
-        in_specs=[
-            pl.BlockSpec((1, D_PAD, CHUNK),
-                         lambda t, c, starts, cnts: (
-                             jnp.minimum(starts[t] + c, n_rows - 1), 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, C, 1, pix), lambda t, c, *_: (t, 0, 0, 0)),
-            pl.BlockSpec((1, S + 3, 1, pix), lambda t, c, *_: (t, 0, 0, 0)),
-            pl.BlockSpec((1, 4, 1, pix), lambda t, c, *_: (t, 0, 0, 0)),
-            pl.BlockSpec((1, 6, 1, pix), lambda t, c, *_: (t, 0, 0, 0)),
-        ],
-        scratch_shapes=[pltpu.VMEM((11 + C + S + 3, 1, pix), jnp.float32)],
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, C, 1, pix), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, S + 3, 1, pix), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 4, 1, pix), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 6, 1, pix), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
-    )(start_chunks, counts, data, params)
+    # fold the continuation into every row of each block's tail run
+    F = F + (S_id == t_[:, None])[:, :, None] * d[:, None, :]
+    flat = F.reshape(K, D)
+    out = flat[jnp.clip(heads, 0, K - 1)]
+    return jnp.where(head_valid[:, None], out, 0.0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def composite_op(packed, gid_padded, start_chunks, counts, params,
-                 settings: RasterSettings, C: int, S: int):
-    data = _build_data(packed, gid_padded)
-    return tuple(_run_fwd(data, start_chunks, counts, params, settings, C, S))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def composite_op(packed, rect_min, rect_max, bin_depth, tiles_touched,
+                 scale_factor, params, settings: RasterSettings,
+                 C: int, S: int):
+    """Sorted, tiled, composited panorama from per-gaussian rows.
+
+    Only ``packed`` [P, D] is differentiated; the binning inputs control
+    instance ORDER, which is non-differentiable (as in CUDA).
+    Returns (color, feature, depth, misc8) tile blocks.
+    """
+    binning = bin_gaussians(rect_min, rect_max, bin_depth, tiles_touched,
+                            scale_factor, settings, payload=packed)
+    data = data_chunks(binning, CHUNK, D_PAD)
+    tiles = run_forward(data, binning.tile_starts, params, settings, C, S)
+    return tiles.color, tiles.feature, tiles.depth, tiles.misc
 
 
-def _op_fwd(packed, gid_padded, start_chunks, counts, params, settings, C, S):
-    data = _build_data(packed, gid_padded)
-    outs = tuple(_run_fwd(data, start_chunks, counts, params, settings, C, S))
-    resid = (data, gid_padded, start_chunks, counts, params, outs[3],
+def _op_fwd(packed, rect_min, rect_max, bin_depth, tiles_touched,
+            scale_factor, params, settings, C, S):
+    binning = bin_gaussians(rect_min, rect_max, bin_depth, tiles_touched,
+                            scale_factor, settings, payload=packed,
+                            with_slots=True)
+    data = data_chunks(binning, CHUNK, D_PAD)
+    tiles = run_forward(data, binning.tile_starts, params, settings, C, S)
+    outs = (tiles.color, tiles.feature, tiles.depth, tiles.misc)
+    tt = tiles_touched.astype(jnp.int32)
+    offs = jnp.cumsum(tt) - tt
+    resid = (data, binning.tile_starts, binning.inv_perm,
+             binning.gid_slot, outs, params, offs, tt > 0,
              packed.shape[0], packed.shape[1])
     return outs, resid
 
 
 def _op_bwd(settings, C, S, resid, cts):
-    data, gid_padded, start_chunks, counts, params, misc, P, D = resid
+    (data, tile_starts, inv_perm, gid_slot, outs, params, offs,
+     has_area, P, D) = resid
     gC, gF, gD4, gMisc = cts
+    colT, featT, depT, misc8 = outs
 
-    done = misc[:, 5, 0, 0].astype(jnp.int32)
-    # slot 5 of the residual misc carries the T_fin cotangent into the kernel
-    misc_resid = misc.at[:, 5].set(gMisc[:, 0])
+    done = misc8[:, 5, 0, 0].astype(jnp.int32)
+    # slot 7 of the totals block carries the T_fin cotangent into the kernel
+    misc_resid = misc8.at[:, 7].set(gMisc[:, 0])
 
-    grad_table = run_backward(data, start_chunks, counts, done, params,
-                              (gC, gF, gD4), misc_resid, settings, C, S)
+    grad = run_backward(data, tile_starts, done, params,
+                        (gC, gF, gD4), (colT, featT, depT, misc_resid),
+                        settings, C, S)
 
     n_rows = data.shape[0]
-    row_ids = jnp.arange(n_rows, dtype=jnp.int32)
-    tile_of_row = (jnp.searchsorted(start_chunks, row_ids, side="right") - 1
-                   ).astype(jnp.int32)
-    processed = row_ids < (start_chunks[tile_of_row] + done[tile_of_row])
-    grad = jnp.where(processed[:, None, None], grad_table[:n_rows], 0.0)
-    grad_flat = grad.transpose(0, 2, 1).reshape(n_rows * CHUNK, D_PAD)[:, :D]
-    grad_packed = jax.ops.segment_sum(grad_flat, gid_padded,
-                                      num_segments=P + 1)[:P]
-    return (grad_packed, None, None, None, None)
+    K = n_rows * CHUNK
+    grad_rows = grad[:n_rows].transpose(0, 2, 1).reshape(K, D_PAD)[:, :D]
+    in_range = (jnp.arange(K, dtype=jnp.int32) < tile_starts[-1])
+    grad_rows = jnp.where(in_range[:, None], grad_rows, 0.0)
+
+    # gather grads back to gaussian-major slot order through the inverse
+    # sort permutation (no re-sort; gathers are width-free), then reduce
+    # the contiguous per-gaussian runs on the MXU
+    grad_slots = grad_rows[inv_perm]
+    grad_packed = segment_sum_runs(grad_slots, gid_slot, offs,
+                                   has_area & (offs < K), P)
+
+    return (grad_packed, None, None, None, None, None, None)
 
 
 composite_op.defvjp(_op_fwd, _op_bwd)
 
 
-def composite_pallas_diff(binning: Binning, prep, features, opacity, bg,
-                          scale_factor, settings: RasterSettings,
-                          angle_bounds=None):
-    """Differentiable drop-in for composite.composite on the pallas path."""
-    from gslidar_tpu.raster.composite import TileImages
-    from gslidar_tpu.raster.pallas_fwd import _untile4
+def rasterize_pallas(prep, features, opacity, bg, scale_factor,
+                     settings: RasterSettings, angle_bounds=None):
+    """Differentiable pallas-path composite from preprocess outputs.
 
-    Tcols = prep.T.transpose(0, 2, 1).reshape(-1, 9)
-    packed = jnp.concatenate([
-        Tcols, prep.xy, prep.depth[:, None], prep.normal,
-        opacity[:, None], prep.color, features], axis=1)
+    Returns (TileImages, num_pairs, num_dropped)."""
+    from gslidar_tpu.raster.composite import TileImages
+    from gslidar_tpu.raster.pallas_fwd import _untile4, pack_payload
+
+    packed = pack_payload(prep, opacity, features)
     S = features.shape[-1]
     C = prep.color.shape[-1]
-    P = packed.shape[0]
-
-    gid_padded, start_chunks, counts = layout_indices(binning, P, settings)
-    VFOV_min, VFOV_max, HFOV_min, HFOV_max = (
-        angle_bounds if angle_bounds is not None else settings.angle_bounds)
-    wrap_w = float(settings.width) if settings.wrap_x else 0.0
-    wrap_inv = 1.0 / wrap_w if settings.wrap_x else 0.0
-    params = jnp.stack([
-        jnp.asarray(NEAR_N * scale_factor, jnp.float32),
-        jnp.asarray(FAR_N * scale_factor, jnp.float32),
-        jnp.asarray(VFOV_min, jnp.float32), jnp.asarray(VFOV_max, jnp.float32),
-        jnp.asarray(HFOV_min, jnp.float32), jnp.asarray(HFOV_max, jnp.float32),
-        jnp.asarray(wrap_w, jnp.float32), jnp.asarray(wrap_inv, jnp.float32)])
+    params = make_params(scale_factor, settings, angle_bounds)
 
     color, feat, depth, misc = composite_op(
-        packed, jax.lax.stop_gradient(gid_padded),
-        jax.lax.stop_gradient(start_chunks),
-        jax.lax.stop_gradient(counts), params, settings, C, S)
+        packed, jax.lax.stop_gradient(prep.rect_min),
+        jax.lax.stop_gradient(prep.rect_max),
+        jax.lax.stop_gradient(prep.depth),
+        jax.lax.stop_gradient(prep.tiles_touched),
+        jax.lax.stop_gradient(jnp.asarray(scale_factor)),
+        params, settings, C, S)
 
     T_fin = misc[:, 0:1]
     color = color + T_fin * bg[None, :, None, None]
-    return TileImages(
+    tiles = TileImages(
         color=_untile4(color, settings),
         feature=_untile4(feat, settings),
         depth=_untile4(depth, settings),
@@ -182,3 +189,7 @@ def composite_pallas_diff(binning: Binning, prep, features, opacity, bg,
         contrib=_untile4(misc[:, 1:3], settings),
         final_T=_untile4(T_fin, settings),
     )
+    tt = prep.tiles_touched.astype(jnp.int32)
+    num_pairs = jnp.sum(tt)
+    num_dropped = jnp.maximum(num_pairs - settings.pair_cap, 0)
+    return tiles, num_pairs, num_dropped

@@ -179,14 +179,20 @@ def preprocess(means3D, scales, quats, opacity, shs, mask, viewmat, campos,
     rect_min_y = jnp.clip(((cy_pix - rad_i) / th).astype(jnp.int32), 0, gy)
     rect_max_y = jnp.clip(((cy_pix + rad_i + th - 1) / th).astype(jnp.int32), 0, gy)
     if settings.wrap_x:
-        # circular x: unclamped tile span (floor division — x may be
-        # negative), width capped at one full revolution, start normalized
-        # into [0, tiles_x); binning wraps columns modulo tiles_x
-        x0t = jnp.floor((cx_pix - rad_i) / tw).astype(jnp.int32)
-        x1t = jnp.floor((cx_pix + rad_i + tw - 1) / tw).astype(jnp.int32)
-        wt = jnp.clip(x1t - x0t, 0, gx)
-        rect_min_x = jnp.mod(x0t, gx)
-        rect_max_x = rect_min_x + wt
+        # circular x: the pixel axis wraps at W (phi = +-pi seam) while the
+        # tile grid wraps at tiles_x — the two periods differ when the last
+        # tile is partial (gx*tw > W). Compute the first/last covered
+        # column in WRAPPED pixel space; the covered set is the modular
+        # column run col_a..col_a+wt-1 (binning walks it mod gx). Capped at
+        # one full revolution.
+        a = jnp.mod(cx_pix - rad_i, W)
+        b = jnp.mod(cx_pix + rad_i, W)
+        col_a = jnp.clip((a / tw).astype(jnp.int32), 0, gx - 1)
+        col_b = jnp.clip((b / tw).astype(jnp.int32), 0, gx - 1)
+        wt = jnp.mod(col_b - col_a, gx) + 1
+        wt = jnp.where(2.0 * rad_i >= W, gx, wt)
+        rect_min_x = col_a
+        rect_max_x = col_a + wt
     else:
         rect_min_x = jnp.clip(((cx_pix - rad_i) / tw).astype(jnp.int32), 0, gx)
         rect_max_x = jnp.clip(((cx_pix + rad_i + tw - 1) / tw).astype(jnp.int32), 0, gx)

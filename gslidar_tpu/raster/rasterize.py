@@ -58,23 +58,25 @@ def rasterize(means3D, scales, rotations, opacity, shs, features, mask,
     if T_tap is not None:
         prep = prep._replace(T=prep.T + T_tap)
 
-    binning = bin_gaussians(prep.rect_min, prep.rect_max, prep.depth,
-                            prep.tiles_touched, scale_factor, settings)
     if features is None or features.shape[-1] == 0:
         features = jnp.zeros((means3D.shape[0], 0), means3D.dtype)
 
     if settings.backend == "pallas":
-        from gslidar_tpu.raster.pallas_op import composite_pallas_diff
-        tiles = composite_pallas_diff(binning, prep, features, opacity, bg,
-                                      scale_factor, settings, angle_bounds)
+        from gslidar_tpu.raster.pallas_op import rasterize_pallas
+        tiles, num_pairs, num_dropped = rasterize_pallas(
+            prep, features, opacity, bg, scale_factor, settings,
+            angle_bounds)
     else:
+        binning = bin_gaussians(prep.rect_min, prep.rect_max, prep.depth,
+                                prep.tiles_touched, scale_factor, settings)
         tiles = composite(binning, prep, features, opacity, bg, scale_factor,
                           settings, angle_bounds)
+        num_pairs, num_dropped = binning.num_pairs, binning.num_dropped
     return RasterOut(
         color=tiles.color, feature=tiles.feature, depth=tiles.depth,
         alpha=tiles.alpha, contrib=tiles.contrib, final_T=tiles.final_T,
-        radii=prep.radius, num_pairs=binning.num_pairs,
-        num_dropped=binning.num_dropped)
+        radii=prep.radius, num_pairs=num_pairs,
+        num_dropped=num_dropped)
 
 
 def densify_grads_from_T_tap(dL_dT, T, settings: RasterSettings):

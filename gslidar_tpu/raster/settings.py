@@ -42,20 +42,17 @@ class RasterSettings:
                                   # "pallas" (fast forward kernel)
     wrap_x: bool = False          # full-360 panorama: the x axis is
                                   # circular (splats wrap across the
-                                  # phi = +-pi seam). Requires
-                                  # width % tile_w == 0 so the tile grid
-                                  # period equals the pixel period. The
-                                  # reference has no analog — its CUDA
+                                  # phi = +-pi seam). The tile grid wraps
+                                  # modulo tiles_x; when tiles_x*tile_w >
+                                  # width the last tile is partial and its
+                                  # out-of-range pixels are masked dead.
+                                  # The reference has no analog — its CUDA
                                   # settings force two 180-degree halves
                                   # (gaussian_renderer/__init__.py:158-227).
 
     def __post_init__(self):
         object.__setattr__(self, "vfov", tuple(float(v) for v in self.vfov))
         object.__setattr__(self, "hfov", tuple(float(v) for v in self.hfov))
-        if self.wrap_x:
-            assert self.width % self.tile_w == 0, (
-                f"wrap_x needs width ({self.width}) divisible by tile_w "
-                f"({self.tile_w}) so tile wrap == pixel wrap")
 
     @property
     def tiles_y(self) -> int:

@@ -63,6 +63,16 @@ class _LpipsProxy:
         return float(cls._fn(pred, gt))
 
 
+def lpips_json(value):
+    """JSON-safe LPIPS entry: the measured float, or None when the metric
+    is unavailable (no pretrained AlexNet weights in a zero-egress image;
+    set GSLIDAR_LPIPS_WEIGHTS to enable — module docstring). None keeps
+    metrics.json strict-JSON parseable instead of emitting a NaN literal,
+    and marks the column as absent rather than poisoned."""
+    v = float(value)
+    return v if np.isfinite(v) else None
+
+
 class RaydropMeter:
     """RMSE / Accuracy / F1 (reference metrics_utils.py:362-416)."""
 

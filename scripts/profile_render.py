@@ -1,11 +1,13 @@
 #!/usr/bin/env python
 """Stage-level breakdown of the render hot path on the bench workload.
 
-Times (each as its own jitted program, inputs varied per call so the axon
-relay can't memoize): preprocess / binning / chunk layout+gather / pallas
-kernel / full render. Run on the real chip:
+Measurement through the axon relay: dispatch is async and
+block_until_ready does NOT block; only host fetches do (with a ~30 ms
+fixed RPC overhead). Every stage is therefore timed as a dependent
+python-loop chain ending in a scalar fetch, at two iteration counts, and
+the per-iteration cost is the slope (fixed overheads cancel).
 
-    PYTHONPATH=. python scripts/profile_render.py [--single]
+    python scripts/profile_render.py [--tiles 32x32 ...]
 """
 
 from __future__ import annotations
@@ -19,23 +21,37 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 
 import numpy as np
 
+N_LO, N_HI = 2, 8
+REPS = 3
 
-def timeit(fn, args_list, n=10, label=""):
+
+def slope(fn, args_list, label=""):
+    """fn(*args) -> pytree; dependent chain via python loop + fetch."""
     import jax
-    out = fn(*args_list[0])
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for i in range(n):
-        out = fn(*args_list[i % len(args_list)])
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n * 1000
-    print(f"{label:34s} {dt:8.2f} ms")
-    return dt
+    times = {}
+    for n in (N_LO, N_HI):
+        out = fn(*args_list[0])
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        _ = np.asarray(leaf.ravel()[0])
+        best = float("inf")
+        for _r in range(REPS):
+            t0 = time.perf_counter()
+            for i in range(n):
+                out = fn(*args_list[i % len(args_list)])
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            _ = np.asarray(leaf.ravel()[0])
+            best = min(best, time.perf_counter() - t0)
+        times[n] = best
+    ms = (times[N_HI] - times[N_LO]) / (N_HI - N_LO) * 1000
+    print(f"{label:40s} {ms:8.2f} ms")
+    return ms
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--tiles", nargs="*", default=["32x32"],
+                    help="tile shapes to profile, e.g. 8x128 32x32")
+    ap.add_argument("--pair-cap-bits", type=int, default=21)
     args_cli = ap.parse_args()
 
     import jax
@@ -43,105 +59,72 @@ def main():
     from bench import build_scene
     from gslidar_tpu.raster.settings import RasterSettings
     from gslidar_tpu.raster.preprocess import preprocess
-    from gslidar_tpu.raster.binning import bin_gaussians
+    from gslidar_tpu.raster.binning import bin_gaussians, data_chunks
+    from gslidar_tpu.raster.pallas_fwd import (CHUNK, D_PAD, make_params,
+                                               pack_payload, run_forward)
     from gslidar_tpu.raster import rasterize
 
-    settings = RasterSettings(height=66, width=515, vfov=(-24.9, 2.0),
-                              hfov=(-90, 90), num_extra_features=4,
-                              pair_cap=1 << 19, tile_chunk=64,
-                              tile_list_cap=16384, tile_h=8, tile_w=128,
-                              backend="pallas")
     sf = 0.1
     bg = jnp.asarray([0.0, 0.0, 0.0, 1.0])
-
-    # two scenes to defeat relay memoization
     scenes = [build_scene(seed=s) for s in (0, 1)]
     vm = jnp.eye(4, dtype=jnp.float32)
     campos = jnp.zeros(3)
     deg = 3
 
-    @jax.jit
-    def run_pre(sc):
-        return preprocess(sc["means3D"], sc["scales"], sc["rotations"],
-                          sc["opacity"], sc["shs"], sc["mask"], vm, campos,
-                          deg, sf, settings)
+    for tile in args_cli.tiles:
+        th, tw = (int(v) for v in tile.split("x"))
+        settings = RasterSettings(
+            height=66, width=1030, vfov=(-24.9, 2.0), hfov=(-180, 180),
+            num_extra_features=4, pair_cap=1 << args_cli.pair_cap_bits,
+            tile_h=th, tile_w=tw, wrap_x=True, backend="pallas")
+        print(f"--- tile {th}x{tw}  grid {settings.tiles_y}x{settings.tiles_x}"
+              f"  pair_cap {settings.pair_cap}")
 
-    preps = [run_pre(sc) for sc in scenes]
-    jax.block_until_ready(preps)
-    n_valid = [int(jnp.sum(p.valid)) for p in preps]
-    n_pairs = [int(jnp.sum(p.tiles_touched)) for p in preps]
-    print(f"P=1M  valid={n_valid}  pairs={n_pairs}  cap={settings.pair_cap}")
+        @jax.jit
+        def run_pre(sc):
+            return preprocess(sc["means3D"], sc["scales"], sc["rotations"],
+                              sc["opacity"], sc["shs"], sc["mask"], vm,
+                              campos, deg, sf, settings)
 
-    timeit(run_pre, [(sc,) for sc in scenes], args_cli.iters,
-           "preprocess (half pano)")
+        preps = [run_pre(sc) for sc in scenes]
+        n_pairs = [int(jnp.sum(p.tiles_touched)) for p in preps]
+        print(f"pairs={n_pairs} cap={settings.pair_cap} "
+              f"dropped={[max(0, n - settings.pair_cap) for n in n_pairs]}")
+        slope(run_pre, [(sc,) for sc in scenes], "preprocess (full 360)")
 
-    @jax.jit
-    def run_bin(prep):
-        return bin_gaussians(prep.rect_min, prep.rect_max, prep.depth,
-                             prep.tiles_touched, sf, settings)
+        @jax.jit
+        def run_bin(prep, sc):
+            packed = pack_payload(prep, sc["opacity"], sc["features"])
+            return bin_gaussians(prep.rect_min, prep.rect_max, prep.depth,
+                                 prep.tiles_touched, sf, settings,
+                                 payload=packed)
 
-    binnings = [run_bin(p) for p in preps]
-    jax.block_until_ready(binnings)
-    timeit(run_bin, [(p,) for p in preps], args_cli.iters,
-           "binning (scatter+sort+ranges)")
+        binnings = [run_bin(p, sc) for p, sc in zip(preps, scenes)]
+        slope(run_bin, list(zip(preps, scenes)),
+              "binning (scatter+gather+sort)")
 
-    from gslidar_tpu.raster.pallas_op import (layout_indices, _build_data,
-                                              _run_fwd)
+        params = make_params(sf, settings)
 
-    @jax.jit
-    def run_layout(binning, prep, sc):
-        Tcols = prep.T.transpose(0, 2, 1).reshape(-1, 9)
-        packed = jnp.concatenate([
-            Tcols, prep.xy, prep.depth[:, None], prep.normal,
-            sc["opacity"][:, None], prep.color, sc["features"]], axis=1)
-        gid_padded, start_chunks, counts = layout_indices(
-            binning, packed.shape[0], settings)
-        return _build_data(packed, gid_padded), start_chunks, counts
+        @jax.jit
+        def run_kernel(binning):
+            data = data_chunks(binning, CHUNK, D_PAD)
+            return run_forward(data, binning.tile_starts, params,
+                               settings, 4, 4)
 
-    layouts = [run_layout(b, p, sc)
-               for b, p, sc in zip(binnings, preps, scenes)]
-    jax.block_until_ready(layouts)
-    print(f"layout rows: {[l[0].shape[0] for l in layouts]}")
-    timeit(run_layout, list(zip(binnings, preps, scenes)), args_cli.iters,
-           "chunk layout + payload gather")
+        slope(run_kernel, [(b,) for b in binnings],
+              "chunk table + pallas fwd kernel")
 
-    params = jnp.asarray([2.0 * sf, 300.0 * sf,
-                          *settings.angle_bounds, 0.0, 0.0], jnp.float32)
-
-    @jax.jit
-    def run_kernel(data, start_chunks, counts):
-        return _run_fwd(data, start_chunks, counts, params, settings, 4, 4)
-
-    kouts = [run_kernel(*l) for l in layouts]
-    jax.block_until_ready(kouts)
-    timeit(run_kernel, layouts, args_cli.iters, "pallas fwd kernel")
-
-    @jax.jit
-    def run_full(sc, viewmat):
-        out = rasterize(sc["means3D"], sc["scales"], sc["rotations"],
-                        sc["opacity"], sc["shs"], sc["features"], sc["mask"],
-                        viewmat, campos, bg, deg, sf, settings=settings)
-        return out.color, out.depth, out.alpha
-
-    timeit(run_full, [(sc, vm) for sc in scenes], args_cli.iters,
-           "FULL half-pano render")
-
-    vmb = jnp.asarray(np.diag([-1.0, 1.0, -1.0, 1.0]).astype(np.float32))
-
-    @jax.jit
-    def run_360(sc):
-        outs = []
-        for v in (vm, vmb):
+        @jax.jit
+        def run_full(sc):
             out = rasterize(sc["means3D"], sc["scales"], sc["rotations"],
                             sc["opacity"], sc["shs"], sc["features"],
-                            sc["mask"], v, campos, bg, deg, sf,
+                            sc["mask"], vm, campos, bg, deg, sf,
                             settings=settings)
-            outs.append((out.color, out.depth, out.alpha))
-        return outs
+            return out.color, out.depth, out.alpha
 
-    dt = timeit(run_360, [(sc,) for sc in scenes], args_cli.iters,
-                "FULL 360 (two halves)")
-    print(f"=> {1000.0 / dt:.2f} renders/s")
+        dt = slope(run_full, [(sc,) for sc in scenes],
+                   "FULL 360 single-pass render")
+        print(f"=> {1000.0 / dt:.2f} renders/s")
 
 
 if __name__ == "__main__":

@@ -38,15 +38,20 @@ def test_pallas_matches_xla_composite(rng):
     vm = jnp.eye(4)
     cp = jnp.zeros(3)
 
+    from gslidar_tpu.raster.pallas_fwd import pack_payload
+
     prep = jax.jit(lambda: preprocess(means, scales, quats, opac, shs,
                                       jnp.ones(P, bool), vm, cp, 3, 1.0,
                                       settings))()
     binn = jax.jit(lambda p: bin_gaussians(p.rect_min, p.rect_max, p.depth,
                                            p.tiles_touched, 1.0, settings))(prep)
+    binn_pl = jax.jit(lambda p: bin_gaussians(
+        p.rect_min, p.rect_max, p.depth, p.tiles_touched, 1.0, settings,
+        payload=pack_payload(p, opac, feats)))(prep)
     xla = jax.jit(lambda b, p: composite(b, p, feats, opac, bg, 1.0,
                                          settings))(binn, prep)
     pls = jax.jit(lambda b, p: composite_pallas(b, p, feats, opac, bg, 1.0,
-                                                settings))(binn, prep)
+                                                settings))(binn_pl, prep)
 
     np.testing.assert_allclose(np.asarray(pls.color), np.asarray(xla.color),
                                atol=5e-4)

@@ -46,14 +46,21 @@ def test_train_cli_end_to_end(tmp_path):
     assert (out / "ckpt" / "chkpnt20.npz").exists()
     assert (out / "scale_factor.txt").exists()
 
-    # resume from the checkpoint for a few more iterations
-    cmd2 = [c for c in cmd if not c.startswith("iterations=")]
+    # resume from the checkpoint for a few more iterations, this time
+    # running the refine stage end-to-end (reference train.py:566-734)
+    cmd2 = [c for c in cmd
+            if not c.startswith("iterations=") and c != "--skip_refine"]
     cmd2 += ["iterations=25", "test_iterations=[25]",
-             "checkpoint_iterations=[25]",
+             "checkpoint_iterations=[25]", "refine_epochs=4",
              "--start_checkpoint", str(out / "ckpt" / "chkpnt20.npz")]
     r2 = subprocess.run(cmd2, cwd=REPO, env=env, capture_output=True,
-                        text=True, timeout=900)
+                        text=True, timeout=1500)
     assert r2.returncode == 0, (r2.stderr[-1000:] +
                                 (log_path.read_text()[-2000:]
                                  if log_path.exists() else ""))
     assert (out / "ckpt" / "chkpnt25.npz").exists()
+    assert (out / "ckpt" / "refine.npz").exists()
+    ref_metrics = (out / "eval" / "test_refine_render" / "metrics.json")
+    assert ref_metrics.exists(), _tail()
+    rm = json.loads(ref_metrics.read_text())
+    assert "Ray drop" in rm

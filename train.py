@@ -80,7 +80,7 @@ def gaussian_config(args, no_time_split=None):
 def training(args):
     import jax
     import jax.numpy as jnp
-    from gslidar_tpu.engine.evaluate import complete_eval, make_eval_render
+    from gslidar_tpu.engine.evaluate import (complete_eval, make_eval_render, make_eval_render360)
     from gslidar_tpu.engine.checkpoint import (checkpoint_path,
                                                latest_checkpoint,
                                                load_checkpoint,
@@ -122,22 +122,44 @@ def training(args):
         for _ in range(first_iter // args.scale_increase_interval):
             scene.up_scale()
 
+    # camera-data-parallel training over the device mesh (TPU-native
+    # extension; the reference is single-GPU — parallel/shard.py)
+    data_parallel = bool(args.get("data_parallel", False))
+    n_par = int(args.get("data_parallel_cameras", 0)) or len(jax.devices())
+    if data_parallel and n_par > 1:
+        from gslidar_tpu.parallel.shard import (make_mesh,
+                                                make_parallel_train_step,
+                                                stack_camera_batch)
+        mesh = make_mesh(n_par)
+        print(f"[data_parallel] {n_par} cameras/iter over mesh "
+              f"{[d.platform for d in jax.devices()[:n_par]]}", flush=True)
+    else:
+        data_parallel = False
+
     def build_fns(no_time_split):
         w, h = scene.get_wh()
         settings = make_settings(args, h, w)
         cfg_now = gaussian_config(args, no_time_split=no_time_split)
-        step = make_train_step(args, cfg_now, settings, bg)
+        if data_parallel:
+            step = make_parallel_train_step(args, cfg_now, settings, bg,
+                                            mesh, n_cameras=n_par)
+        else:
+            step = make_train_step(args, cfg_now, settings, bg)
         densify = make_densify_fn(args, cfg_now)
         ev = make_eval_render(args, cfg_now, settings, bg)
-        return step, densify, ev, cfg_now
+        ev360 = (make_eval_render360(args, cfg_now, settings, bg)
+                 if bool(args.get("eval_full360", True)) else None)
+        return step, densify, ev, ev360, cfg_now
 
     no_time_split = bool(args.no_time_split)
-    train_step, densify_fn, eval_render, cfg_now = build_fns(no_time_split)
+    (train_step, densify_fn, eval_render, eval_render360,
+     cfg_now) = build_fns(no_time_split)
 
     if args.test_only or first_iter == args.iterations:
         sh_deg = min(first_iter // args.sh_increase_interval, args.sh_degree)
         complete_eval(first_iter, args, scene, state, sh_deg, eval_render,
-                      is_final=True, save_raydrop_data=True)
+                      is_final=True, save_raydrop_data=True,
+                      eval_render360=eval_render360)
         return state, scene
 
     rng = np.random.default_rng(args.seed)
@@ -181,15 +203,22 @@ def training(args):
             print(f"[profiler] trace written to {args.model_path}/profile")
         sh_degree = min(iteration // args.sh_increase_interval, args.sh_degree)
 
-        if not viewpoint_stack:
-            viewpoint_stack = list(range(len(scene.get_train_cameras())))
-        cam_idx = viewpoint_stack.pop(rng.integers(len(viewpoint_stack)))
-        cam = scene.get_train_cameras()[cam_idx]
+        def pick_camera():
+            nonlocal viewpoint_stack
+            if not viewpoint_stack:
+                viewpoint_stack = list(range(len(scene.get_train_cameras())))
+            idx = viewpoint_stack.pop(rng.integers(len(viewpoint_stack)))
+            c = scene.get_train_cameras()[idx]
+            if rng.random() < args.lambda_self_supervision:
+                tsh = 3 * (rng.random() - 0.5) * scene.time_interval
+            else:
+                tsh = 0.0
+            return c, tsh
 
-        if rng.random() < args.lambda_self_supervision:
-            time_shift = 3 * (rng.random() - 0.5) * scene.time_interval
-        else:
-            time_shift = 0.0
+        cam, time_shift = pick_camera()
+        if data_parallel:
+            picks = [(cam, time_shift)] + [pick_camera()
+                                           for _ in range(n_par - 1)]
 
         in_window = (args.densify_from_iter < iteration < args.densify_until_iter
                      and (args.densify_until_num_points < 0
@@ -198,16 +227,28 @@ def training(args):
         is_densify = (in_window
                       and iteration % args.densification_interval == 0)
 
-        state, loss, log = train_step(
-            state, camera_to_batch(cam), jnp.asarray(iteration, jnp.float32),
-            jnp.asarray(sh_degree, jnp.int32),
-            jnp.asarray(time_shift, jnp.float32),
-            jnp.asarray(in_window), apply_update=not is_densify)
+        if data_parallel:
+            cams_b = stack_camera_batch([camera_to_batch(c)
+                                         for c, _ in picks])
+            tsh_b = jnp.asarray([t for _, t in picks], jnp.float32)
+            # positional: pjit rejects kwargs when in_shardings is set
+            state, loss, log = train_step(
+                state, cams_b, jnp.asarray(iteration, jnp.float32),
+                jnp.asarray(sh_degree, jnp.int32), tsh_b,
+                jnp.asarray(in_window), not is_densify)
+        else:
+            state, loss, log = train_step(
+                state, camera_to_batch(cam),
+                jnp.asarray(iteration, jnp.float32),
+                jnp.asarray(sh_degree, jnp.int32),
+                jnp.asarray(time_shift, jnp.float32),
+                jnp.asarray(in_window), apply_update=not is_densify)
 
         # flip time-split mode (reference train.py:356-357)
         if no_time_split and iteration > args.densify_until_iter * args.time_split_frac:
             no_time_split = False
-            train_step, densify_fn, eval_render, cfg_now = build_fns(no_time_split)
+            (train_step, densify_fn, eval_render, eval_render360,
+             cfg_now) = build_fns(no_time_split)
 
         if is_densify:
             size_on = (iteration > args.opacity_reset_interval
@@ -259,7 +300,8 @@ def training(args):
             complete_eval(iteration, args, scene, state, sh_degree,
                           eval_render,
                           is_final=(iteration == args.iterations),
-                          save_raydrop_data=(iteration == args.iterations))
+                          save_raydrop_data=(iteration == args.iterations),
+                          eval_render360=eval_render360)
 
         if iteration % args.vis_step == 0 or iteration == 1:
             pkg = eval_render(state.params, state.aux.alive, state.prior,
@@ -281,7 +323,8 @@ def training(args):
                 prior=raydrop_prior_upscale(state.prior, next_h, next_w))
             from gslidar_tpu.models.raydrop_prior import PriorAdam
             state = state._replace(prior_opt=PriorAdam.init(state.prior))
-            train_step, densify_fn, eval_render, cfg_now = build_fns(no_time_split)
+            (train_step, densify_fn, eval_render, eval_render360,
+             cfg_now) = build_fns(no_time_split)
 
         if iteration in args.checkpoint_iterations:
             print(f"\n[ITER {iteration}] Saving Checkpoint", flush=True)
