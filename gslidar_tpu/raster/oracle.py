@@ -34,8 +34,19 @@ def rasterize_dense(means3D, scales, rotations, opacity, shs, features, mask,
     P = means3D.shape[0]
     npix = H * W
 
-    # depth sort all gaussians (invalid last)
-    order = jnp.argsort(jnp.where(prep.valid, prep.depth, jnp.inf))
+    # depth sort all gaussians (invalid last). In parity mode
+    # (respect_tile_rect) replicate the binned path's QUANTIZED depth
+    # order: equal-bucket instances keep gaussian-index order there
+    # (stable sort over gaussian-major slots), which argsort's stable
+    # tie-breaking reproduces exactly.
+    if respect_tile_rect:
+        dq_max = (1 << settings.depth_bits) - 1
+        dnorm = jnp.clip((prep.depth - near) / max(far - near, 1e-12),
+                         0.0, 1.0)
+        dq = jnp.minimum((dnorm * float(dq_max)).astype(jnp.int32), dq_max)
+        order = jnp.argsort(jnp.where(prep.valid, dq, jnp.iinfo(jnp.int32).max))
+    else:
+        order = jnp.argsort(jnp.where(prep.valid, prep.depth, jnp.inf))
     T = prep.T[order]
     xy = prep.xy[order]
     r_center = prep.depth[order]
@@ -77,6 +88,10 @@ def rasterize_dense(means3D, scales, rotations, opacity, shs, features, mask,
         s1, s2 = p1 / p3s, p2 / p3s
         rho3d = s1 * s1 + s2 * s2
         dx = xy[g, 0] - px
+        if settings.wrap_x:
+            # circular panorama: 2D pixel distance wraps at the phi seam
+            # (same rule as composite.py / pallas_fwd.py)
+            dx = jnp.mod(dx + W / 2.0, float(W)) - W / 2.0
         dy = xy[g, 1] - py
         rho2d = FILTER_INV_SQUARE * (dx * dx + dy * dy)
         use3d = rho3d <= rho2d
@@ -89,8 +104,16 @@ def rasterize_dense(means3D, scales, rotations, opacity, shs, features, mask,
         alpha = jnp.minimum(MAX_ALPHA, opa[g] * jnp.exp(-0.5 * rho))
         ok = valid[g] & ok3 & (depth >= near) & (depth <= far) & (alpha >= ALPHA_EPS)
         if respect_tile_rect:
-            in_rect = ((tile_of_pix_x >= rect_min[g, 0])
-                       & (tile_of_pix_x < rect_max[g, 0])
+            if settings.wrap_x:
+                # circular rect: covered columns are the modular run
+                # rect_min_x .. rect_min_x + width - 1 (binning.py)
+                gx = settings.tiles_x
+                wt = rect_max[g, 0] - rect_min[g, 0]
+                in_x = jnp.mod(tile_of_pix_x - rect_min[g, 0], gx) < wt
+            else:
+                in_x = ((tile_of_pix_x >= rect_min[g, 0])
+                        & (tile_of_pix_x < rect_max[g, 0]))
+            in_rect = (in_x
                        & (tile_of_pix_y >= rect_min[g, 1])
                        & (tile_of_pix_y < rect_max[g, 1]))
             ok = ok & in_rect

@@ -49,6 +49,10 @@ class RasterSettings:
                                   # The reference has no analog — its CUDA
                                   # settings force two 180-degree halves
                                   # (gaussian_renderer/__init__.py:158-227).
+    sort_depth_bits: int = 0      # 0 = auto (32 - tile-id bits). Pin to
+                                  # make depth-bucket edges identical
+                                  # across tile grids (tile-shape
+                                  # invariance tests rely on this).
 
     def __post_init__(self):
         object.__setattr__(self, "vfov", tuple(float(v) for v in self.vfov))
@@ -85,4 +89,8 @@ class RasterSettings:
         """Bits of the uint32 sort key used for quantized depth; the rest
         hold the tile id (binning.py)."""
         tile_bits = max(1, (self.num_tiles + 1).bit_length())
+        if self.sort_depth_bits:
+            assert self.sort_depth_bits + tile_bits <= 32, \
+                "sort_depth_bits leaves no room for the tile id"
+            return self.sort_depth_bits
         return 32 - tile_bits

@@ -1,13 +1,14 @@
-"""Pallas kernel checks at scale (VERDICT r1 item 7).
+"""Pallas pipeline checks at scale (VERDICT r1 item 7).
 
-The XLA scan compositor is too slow as a reference at 100k+ gaussians,
-so large-scale correctness uses TILE-SHAPE INVARIANCE: the composited
-panorama is a per-pixel front-to-back sum over depth-sorted instances,
-so it must not depend on how the image is cut into tiles. Different
-tile shapes exercise different step layouts, unaligned chunk reads,
-per-tile masking, seam wrap and early-exit schedules — agreement across
-them (and with the XLA compositor at moderate scale, including across
-the wrap seam) pins the whole binning+kernel pipeline.
+Primary fixture: the dense oracle (`raster/oracle.py`) in parity mode —
+same tile-rect culling, same quantized depth order — evaluated at tens
+of thousands of gaussians on the full-360 circular panorama. Exact
+tile-shape INVARIANCE is deliberately not asserted: the rect cull is
+tile-grid-dependent, so pixels at a splat's ALPHA_EPS boundary can
+legally gain/lose an eps-level contribution when the grid changes
+(~1e-2 worst case; the CUDA reference's per-tile culling has the same
+property). Oracle parity per shape is the stronger check and pins the
+whole binning + kernel pipeline up to f32 regrouping.
 """
 
 import dataclasses
@@ -18,6 +19,7 @@ import jax.numpy as jnp
 import pytest
 
 from gslidar_tpu.raster import RasterSettings, rasterize
+from gslidar_tpu.raster.oracle import rasterize_dense
 
 requires_tpu = pytest.mark.skipif(
     jax.devices()[0].platform not in ("tpu", "axon"),
@@ -49,37 +51,53 @@ def _render(sc, settings):
     return jax.tree.map(np.asarray, out)
 
 
+def _oracle(sc, settings):
+    bg = jnp.asarray([0., 0., 0., 1.])
+    out = jax.jit(lambda: rasterize_dense(
+        sc["means"], sc["scales"], sc["quats"], sc["opac"], sc["shs"],
+        sc["feats"], sc["mask"], jnp.eye(4), jnp.zeros(3), bg, 3, 1.0,
+        settings))()
+    return {k: np.asarray(v) for k, v in out.items()}
+
+
+def _check_vs_oracle(p, o, tag):
+    np.testing.assert_allclose(p.color, o["color"], atol=1e-3, err_msg=tag)
+    np.testing.assert_allclose(p.alpha, o["alpha"], atol=1e-3, err_msg=tag)
+    np.testing.assert_allclose(p.depth[0], o["depth"][0], atol=3e-2,
+                               err_msg=tag)
+    np.testing.assert_allclose(p.feature, o["feature"], atol=3e-3,
+                               err_msg=tag)
+
+
 @requires_tpu
-def test_tile_shape_invariance_at_scale(rng):
-    """120k gaussians, full-360 wrap pano, three tile shapes agree."""
-    P = 120_000
+def test_oracle_parity_at_scale_full360(rng):
+    """50k gaussians across the whole wrap seam, bench (32x32) and
+    training (8x64) tile shapes, each against the dense oracle."""
+    P = 50_000
     sc = _scene(P, rng)
     base = RasterSettings(height=66, width=1030, vfov=(-24.9, 2.0),
                           hfov=(-180., 180.), num_extra_features=4,
-                          pair_cap=1 << 19, wrap_x=True, backend="pallas",
+                          pair_cap=1 << 18, wrap_x=True, backend="pallas",
                           tile_h=32, tile_w=32)
-    outs = []
-    for th, tw in [(32, 32), (8, 64), (32, 128)]:
+    for th, tw in [(32, 32), (8, 64)]:
         s = dataclasses.replace(base, tile_h=th, tile_w=tw)
-        outs.append(_render(sc, s))
-    a = outs[0]
-    assert int(a.num_dropped) == 0, "test scene must not overflow pair_cap"
-    for b in outs[1:]:
-        np.testing.assert_allclose(b.color, a.color, atol=2e-4)
-        np.testing.assert_allclose(b.alpha, a.alpha, atol=2e-4)
-        np.testing.assert_allclose(b.depth[0], a.depth[0], atol=2e-2)
-        np.testing.assert_allclose(b.feature, a.feature, atol=1e-3)
+        p = _render(sc, s)
+        assert int(p.num_dropped) == 0
+        _check_vs_oracle(p, _oracle(sc, s), f"tile {th}x{tw}")
 
 
 @requires_tpu
-def test_gradients_tile_shape_invariance_at_scale(rng):
-    """Training config (8x64) vs 32x32 tiles: same gradients at 100k."""
+def test_gradients_match_xla_at_scale(rng):
+    """Pallas custom_vjp vs XLA autodiff at 100k gaussians, training
+    tile shape — same binning, so parity is tight."""
     P = 100_000
     sc = _scene(P, rng, spread=0.5)
-    base = RasterSettings(height=66, width=515, vfov=(-24.9, 2.0),
-                          hfov=(-90., 90.), num_extra_features=4,
-                          pair_cap=1 << 19, backend="pallas",
-                          tile_h=8, tile_w=64)
+    S_P = RasterSettings(height=66, width=515, vfov=(-24.9, 2.0),
+                         hfov=(-90., 90.), num_extra_features=4,
+                         pair_cap=1 << 19, backend="pallas",
+                         tile_h=8, tile_w=64)
+    S_X = dataclasses.replace(S_P, backend="xla", tile_chunk=64,
+                              tile_list_cap=1 << 15)
     target = jnp.asarray(rng.uniform(1, 30, (66, 515)).astype(np.float32))
     bg = jnp.asarray([0., 0., 0., 1.])
 
@@ -98,11 +116,9 @@ def test_gradients_tile_shape_invariance_at_scale(rng):
 
     args = (sc["means"], sc["scales"], sc["quats"], sc["opac"], sc["shs"],
             sc["feats"])
-    g1 = jax.jit(jax.grad(make_loss(base), argnums=(0, 3)))(*args)
-    g2 = jax.jit(jax.grad(make_loss(
-        dataclasses.replace(base, tile_h=32, tile_w=32)),
-        argnums=(0, 3)))(*args)
-    for a, b, n in zip(g1, g2, ["means", "opac"]):
+    gp = jax.jit(jax.grad(make_loss(S_P), argnums=(0, 3)))(*args)
+    gx = jax.jit(jax.grad(make_loss(S_X), argnums=(0, 3)))(*args)
+    for a, b, n in zip(gx, gp, ["means", "opac"]):
         a, b = np.asarray(a), np.asarray(b)
         den = max(np.abs(a).max(), 1e-8)
         assert np.abs(a - b).max() / den < 1e-3, f"grad mismatch: {n}"
@@ -110,27 +126,24 @@ def test_gradients_tile_shape_invariance_at_scale(rng):
 
 @requires_tpu
 def test_deep_occlusion_early_exit(rng):
-    """A wall of near-opaque splats in front of 80k background gaussians:
-    the early-exit path must agree across tile shapes, and occluded
-    instances must not contribute."""
-    P_bg = 80_000
+    """A wall of near-opaque splats in front of 60k background gaussians:
+    the kernel's tile-level early exit must be invisible (the oracle has
+    no early exit), and everything visible must be near."""
+    P_bg = 60_000
     sc = _scene(P_bg, rng, r_lo=30.0, r_hi=80.0)
-    # near wall: dense opaque splats at r=2 covering the whole pano band
     P_w = 4_000
     w = _scene(P_w, np.random.default_rng(7), r_lo=2.0, r_hi=2.2)
     sc2 = {k: jnp.concatenate([w[k], sc[k]], 0) for k in sc}
     sc2["opac"] = sc2["opac"].at[:P_w].set(0.999)
     sc2["scales"] = sc2["scales"].at[:P_w].set(0.8)
-    base = RasterSettings(height=66, width=1030, vfov=(-24.9, 2.0),
-                          hfov=(-180., 180.), num_extra_features=4,
-                          pair_cap=1 << 19, wrap_x=True, backend="pallas",
-                          tile_h=32, tile_w=32)
-    a = _render(sc2, base)
-    b = _render(sc2, dataclasses.replace(base, tile_h=8, tile_w=64))
-    np.testing.assert_allclose(b.color, a.color, atol=2e-4)
-    np.testing.assert_allclose(b.depth[0], a.depth[0], atol=2e-2)
-    # the wall is at ~2/60 depth: everything must be near
-    assert float(np.median(a.depth[0][a.alpha[0] > 0.9])) < 5.0
+    s = RasterSettings(height=66, width=1030, vfov=(-24.9, 2.0),
+                       hfov=(-180., 180.), num_extra_features=4,
+                       pair_cap=1 << 18, wrap_x=True, backend="pallas",
+                       tile_h=32, tile_w=32)
+    p = _render(sc2, s)
+    assert int(p.num_dropped) == 0
+    _check_vs_oracle(p, _oracle(sc2, s), "deep occlusion")
+    assert float(np.median(p.depth[0][p.alpha[0] > 0.9])) < 5.0
 
 
 @requires_tpu
