@@ -67,10 +67,22 @@ def main():
     import jax.numpy as jnp
     from gslidar_tpu.raster import RasterSettings, rasterize
 
+    # Config choices (measured, scripts/profile_render.py): 16x32 tiles
+    # minimize kernel pair-pixel work ((r+t)^2 law); the pair cap sits
+    # ~6% above this scene's ~2.12M instances because binning's
+    # gather-engine cost is cap-linear (~17.6 ms/M) and inactive tail
+    # grid steps cost ~0.45 us each; distortion moments are a training
+    # loss term no eval render reads. GSLIDAR_BENCH_WIDE=1 additionally
+    # carries the payload through the binning sort (payload_in_sort) —
+    # faster per render but its sort COMPILE exceeds 30 min at this
+    # instance count (measured), so it is off and experimental.
     settings = RasterSettings(height=66, width=1030, vfov=(-24.9, 2.0),
                               hfov=(-180, 180), num_extra_features=4,
-                              pair_cap=1 << 21, tile_h=32, tile_w=32,
-                              wrap_x=True, backend="pallas")
+                              pair_cap=17664 * 128, tile_h=16, tile_w=32,
+                              wrap_x=True, backend="pallas",
+                              compute_distortion=False,
+                              payload_in_sort=bool(
+                                  os.environ.get("GSLIDAR_BENCH_WIDE")))
     scene = build_scene()
     sf = 0.1
     bg = jnp.asarray([0.0, 0.0, 0.0, 1.0])

@@ -22,15 +22,19 @@ EPS = 1e-5
 
 
 def make_eval_render(args, cfg, settings, bg):
+    import dataclasses
     sf = float(args.scale_factor)
     dynamic = bool(args.dynamic)
     median_depth = bool(args.get("median_depth", False))
+    # eval never reads the distortion moments (a training loss term) —
+    # skipping them statically cuts ~25% of the compositing kernel
+    s_eval = dataclasses.replace(settings, compute_distortion=False)
 
     @jax.jit
     def eval_render(params, alive, prior, cam: CameraBatch, sh_degree):
         return render(params, alive, cam.viewmat, cam.campos, cam.timestamp,
                       cam.towards_idx, prior, bg, sh_degree, sf, cfg,
-                      settings, dynamic=dynamic, median_depth=median_depth)
+                      s_eval, dynamic=dynamic, median_depth=median_depth)
     return eval_render
 
 
@@ -48,7 +52,8 @@ def make_eval_render360(args, cfg, settings, bg):
     median_depth = bool(args.get("median_depth", False))
     s360 = dataclasses.replace(
         settings, width=settings.width * 2, hfov=(-180.0, 180.0),
-        wrap_x=True, pair_cap=settings.pair_cap * 2)
+        wrap_x=True, pair_cap=settings.pair_cap * 2,
+        compute_distortion=False)
 
     @jax.jit
     def eval_render360(params, alive, prior, cam: CameraBatch, sh_degree):

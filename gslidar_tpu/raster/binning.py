@@ -133,9 +133,18 @@ def bin_gaussians(rect_min, rect_max, depth, tiles_touched,
     seeded = jnp.zeros(K, jnp.int32).at[starts_m].set(gap, mode="drop")
     gid = jnp.cumsum(seeded)
 
-    # ONE row gather brings the binning words to slots (width-free)
+    # ONE row gather brings the binning words to slots (width-free). In
+    # payload_in_sort mode the SAME gather also carries the render
+    # payload so the wide sort below can order it directly.
     w0 = offsets * 128 + jnp.minimum(rw, 127)
-    ws = jnp.stack([w0, rmin_tile, dq], axis=1)[gid]           # [K, 3]
+    words_i = jnp.stack([w0, rmin_tile, dq], axis=1)           # [P, 3]
+    wide = settings.payload_in_sort and payload is not None
+    if wide:
+        words_f = jax.lax.bitcast_convert_type(words_i, jnp.float32)
+        rows = jnp.concatenate([words_f, payload], axis=1)[gid]  # [K, 3+D]
+        ws = jax.lax.bitcast_convert_type(rows[:, :3], jnp.int32)
+    else:
+        ws = words_i[gid]                                      # [K, 3]
     w0_s, rmin_tile_s, dq_s = ws[:, 0], ws[:, 1], ws[:, 2]
     offs_s = w0_s // 128
     rw_s = w0_s - offs_s * 128
@@ -160,10 +169,17 @@ def bin_gaussians(rect_min, rect_max, depth, tiles_touched,
     key = ((tile.astype(jnp.uint32) << jnp.uint32(depth_bits))
            | dq_s.astype(jnp.uint32))
 
-    # ONE narrow sort — operand count is strictly limited because the
-    # XLA:TPU sort compiles at ~10 s/operand (module docstring)
-    operands = (key, gid, slots) if with_slots else (key, gid)
-    out = jax.lax.sort(operands, dimension=0, num_keys=1, is_stable=True)
+    # ONE sort. Narrow (2-3 operands) by default — the XLA:TPU sort
+    # compiles at ~10 s/operand (module docstring) — or wide when
+    # payload_in_sort amortizes that compile.
+    operands = [key, gid]
+    if with_slots:
+        operands.append(slots)
+    D = payload.shape[1] if wide else 0
+    if wide:
+        operands.extend(rows[:, 3 + i] for i in range(D))
+    out = jax.lax.sort(tuple(operands), dimension=0, num_keys=1,
+                       is_stable=True)
     key_s, gid_s = out[0], out[1]
     if with_slots:
         # slot_s is a permutation of [0, K) (pad slots ride the sort too),
@@ -171,10 +187,15 @@ def bin_gaussians(rect_min, rect_max, depth, tiles_touched,
         inv_perm = jnp.zeros(K, jnp.int32).at[out[2]].set(slots)
     else:
         inv_perm = None
-    # payload lands in sorted instance order with ONE row gather from the
-    # [P, D] table (pad slots carry a clamped-but-valid gid; the kernel
-    # masks them off via tile_starts)
-    data_rows_s = payload[gid_s] if payload is not None else None
+    if wide:
+        data_rows_s = jnp.stack(out[-D:], axis=1)
+    elif payload is not None:
+        # payload lands in sorted instance order with ONE row gather from
+        # the [P, D] table (pad slots carry a clamped-but-valid gid; the
+        # kernel masks them off via tile_starts)
+        data_rows_s = payload[gid_s]
+    else:
+        data_rows_s = None
 
     tile_s = (key_s >> jnp.uint32(depth_bits)).astype(jnp.int32)
     # per-tile range starts: starts[t] = #(tile_s < t). A compare-sum over

@@ -184,7 +184,11 @@ def _kernel(chunk_tile_ref, step_starts_ref, tile_starts_ref, row0_ref,
         opa = row(_F_OPA)
 
         # ray-splat intersection (forward.cu:404-424): [pix, CHUNK] outer
-        # products of per-pixel columns and per-instance rows
+        # products of per-pixel columns and per-instance rows. These stay
+        # on the VPU deliberately: as matmuls the contraction dims are 2-3
+        # wide, and a [CHUNK, 3] @ [3, pix] MXU pass at the f32 precision
+        # the conic math needs (6-pass) is ~5x slower than the broadcast
+        # multiplies.
         kx = cp * Tux - sp * Twx
         ky = cp * Tuy - sp * Twy
         kz = cp * Tuz - sp * Twz
@@ -243,17 +247,18 @@ def _kernel(chunk_tile_ref, step_starts_ref, tile_starts_ref, row0_ref,
         state_ref[2] = state_ref[2] + jnp.sum(d_safe * d_safe * w, 0,
                                               keepdims=True)
 
-        # distortion running moments (forward.cu:450-456)
-        m = far / (far - near) * (1.0 - near / d_safe)
-        mw = m * w
-        m2w = m * m * w
-        M1_b = state_ref[4] + _prefix_sum(mw, CHUNK) - mw
-        M2_b = state_ref[5] + _prefix_sum(m2w, CHUNK) - m2w
-        A_b = 1.0 - T_before
-        state_ref[3] = state_ref[3] + jnp.sum(
-            (m * m * A_b + M2_b - 2.0 * m * M1_b) * w, 0, keepdims=True)
-        state_ref[4] = state_ref[4] + jnp.sum(mw, 0, keepdims=True)
-        state_ref[5] = state_ref[5] + jnp.sum(m2w, 0, keepdims=True)
+        if settings.compute_distortion:
+            # distortion running moments (forward.cu:450-456)
+            m = far / (far - near) * (1.0 - near / d_safe)
+            mw = m * w
+            m2w = m * m * w
+            M1_b = state_ref[4] + _prefix_sum(mw, CHUNK) - mw
+            M2_b = state_ref[5] + _prefix_sum(m2w, CHUNK) - m2w
+            A_b = 1.0 - T_before
+            state_ref[3] = state_ref[3] + jnp.sum(
+                (m * m * A_b + M2_b - 2.0 * m * M1_b) * w, 0, keepdims=True)
+            state_ref[4] = state_ref[4] + jnp.sum(mw, 0, keepdims=True)
+            state_ref[5] = state_ref[5] + jnp.sum(m2w, 0, keepdims=True)
 
         # median depth: LAST accepted contribution with T_before > 0.5
         # (forward.cu:458-462); positions are exact in f32 (< 2^24)

@@ -53,6 +53,25 @@ class RasterSettings:
                                   # make depth-bucket edges identical
                                   # across tile grids (tile-shape
                                   # invariance tests rely on this).
+    compute_distortion: bool = True   # distortion moments (M1/M2/dist)
+                                  # are a TRAINING loss term
+                                  # (forward.cu:450-456); eval/bench
+                                  # renders never read them, and skipping
+                                  # the running moments + two sublane
+                                  # prefix sums cuts ~25% of the
+                                  # compositing kernel's VPU ops. Static:
+                                  # False zeroes the dist/M1/M2 outputs.
+    payload_in_sort: bool = False # EXPERIMENTAL: carry the render
+                                  # payload through the binning sort (one
+                                  # ~30-operand lax.sort) instead of a
+                                  # post-sort row gather. Faster at run
+                                  # time, but the XLA:TPU sort compiles
+                                  # at ~10 s/operand at small K and
+                                  # blows past 30 MINUTES at 2M
+                                  # instances (measured; no persistent
+                                  # compile cache exists on this
+                                  # backend) — only usable for small
+                                  # scenes in long-lived processes.
 
     def __post_init__(self):
         object.__setattr__(self, "vfov", tuple(float(v) for v in self.vfov))

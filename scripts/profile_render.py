@@ -14,8 +14,10 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/jax_comp"))
 
@@ -52,6 +54,10 @@ def main():
     ap.add_argument("--tiles", nargs="*", default=["32x32"],
                     help="tile shapes to profile, e.g. 8x128 32x32")
     ap.add_argument("--pair-cap-bits", type=int, default=21)
+    ap.add_argument("--wide", action="store_true",
+                    help="payload_in_sort=True (serving mode; slow compile)")
+    ap.add_argument("--dist", action="store_true",
+                    help="compute_distortion=True (training kernel)")
     args_cli = ap.parse_args()
 
     import jax
@@ -76,7 +82,9 @@ def main():
         settings = RasterSettings(
             height=66, width=1030, vfov=(-24.9, 2.0), hfov=(-180, 180),
             num_extra_features=4, pair_cap=1 << args_cli.pair_cap_bits,
-            tile_h=th, tile_w=tw, wrap_x=True, backend="pallas")
+            tile_h=th, tile_w=tw, wrap_x=True, backend="pallas",
+            payload_in_sort=args_cli.wide,
+            compute_distortion=args_cli.dist)
         print(f"--- tile {th}x{tw}  grid {settings.tiles_y}x{settings.tiles_x}"
               f"  pair_cap {settings.pair_cap}")
 
