@@ -1,19 +1,28 @@
-"""Live training viewer: browser-based orbit camera over HTTP.
+"""Live training viewer: browser-based orbit + fly camera over HTTP.
 
 Reference: utils/viser_utils.py + thirdparty/nerfview (a viser web viewer
-with a render callback, a train-loop lock, and rays/sec accounting).
-viser is not available in this environment, so this is a dependency-free
-equivalent on http.server: the page polls /render with orbit-camera
-parameters; the server calls the registered render callback (which jits a
-panorama render) and streams PNG frames. The training loop brackets each
-iteration with checkin()/checkout(), which both yields to pending render
-requests and reports rays/sec like the reference
-(utils/viser_utils.py:43-55).
+with a render callback, a train-loop lock, pause control, and rays/sec
+accounting). viser is not available in this environment, so this is a
+dependency-free equivalent on http.server:
+
+* the page polls /render with either ORBIT parameters (az/el/dist
+  sliders) or a FREE-FLY pose (WASD + mouse-drag compute position/yaw/
+  pitch client side) — the nerfview free-perspective equivalent;
+* /pause toggles training: checkin() blocks while paused, exactly like
+  nerfview's ``while status == "paused": sleep`` (viser_utils.py:43-45);
+* /stats reports rays/sec computed from the checkin/checkout bracket
+  (viser_utils.py:49-55).
+
+Deviation: nerfview drops the render resolution while the camera moves;
+the render callback here is a fixed-resolution jitted panorama, so
+motion renders at full resolution (the pano is small enough that this
+is ~tens of ms).
 """
 
 from __future__ import annotations
 
 import io
+import json
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -25,25 +34,69 @@ _PAGE = """<!doctype html>
 <html><head><title>gslidar_tpu viewer</title><style>
 body { background:#111; color:#ddd; font-family:monospace }
 img { image-rendering:pixelated; width:90vw }
+#view:focus { outline:1px solid #5af }
 </style></head><body>
-<div>az <input id=az type=range min=-180 max=180 value=0>
+<div>mode <select id=mode><option>orbit</option><option>fly</option></select>
+ az <input id=az type=range min=-180 max=180 value=0>
  el <input id=el type=range min=-60 max=60 value=15>
  dist <input id=dist type=range min=2 max=80 value=25>
  frame <input id=frame type=range min=0 max=FRAME_MAX value=0>
+ <button id=pause>pause</button>
  <span id=stat></span></div>
-<img id=view>
+<div>fly: click image, WASD+RF to move, drag to look</div>
+<img id=view tabindex=0>
 <script>
+let pos = [0, -2, -10], yaw = 0, pitch = 0, paused = false;
+const keys = {};
+const view = document.getElementById('view');
+view.onkeydown = e => keys[e.key.toLowerCase()] = true;
+view.onkeyup = e => keys[e.key.toLowerCase()] = false;
+let drag = null;
+view.onmousedown = e => drag = [e.clientX, e.clientY];
+window.onmouseup = () => drag = null;
+window.onmousemove = e => {
+  if (!drag) return;
+  yaw += (e.clientX - drag[0]) * 0.4; pitch += (e.clientY - drag[1]) * 0.3;
+  pitch = Math.max(-89, Math.min(89, pitch));
+  drag = [e.clientX, e.clientY];
+};
+function step() {
+  const y = yaw * Math.PI / 180, p = pitch * Math.PI / 180, v = 0.8;
+  const fwd = [Math.cos(p)*Math.sin(y), -Math.sin(p), Math.cos(p)*Math.cos(y)];
+  const right = [Math.cos(y), 0, -Math.sin(y)];
+  const mv = (d, s) => { for (let i = 0; i < 3; i++) pos[i] += d[i]*s; };
+  if (keys['w']) mv(fwd, v);   if (keys['s']) mv(fwd, -v);
+  if (keys['d']) mv(right, v); if (keys['a']) mv(right, -v);
+  if (keys['r']) pos[1] -= v;  if (keys['f']) pos[1] += v;
+}
+document.getElementById('pause').onclick = async () => {
+  const r = await fetch('/pause', {method: 'POST'});
+  paused = (await r.json()).paused;
+  document.getElementById('pause').textContent = paused ? 'resume' : 'pause';
+};
 async function tick() {
-  const q = ['az','el','dist','frame'].map(k =>
-      k + '=' + document.getElementById(k).value).join('&');
-  const t0 = performance.now();
-  const r = await fetch('/render?' + q);
-  if (r.ok) {
-    const b = await r.blob();
-    document.getElementById('view').src = URL.createObjectURL(b);
-    document.getElementById('stat').textContent =
-        (performance.now() - t0).toFixed(0) + ' ms';
+  step();
+  let q;
+  if (document.getElementById('mode').value === 'fly') {
+    q = 'mode=fly&px=' + pos[0] + '&py=' + pos[1] + '&pz=' + pos[2]
+      + '&yaw=' + yaw + '&pitch=' + pitch;
+  } else {
+    q = 'mode=orbit&' + ['az','el','dist'].map(k =>
+        k + '=' + document.getElementById(k).value).join('&');
   }
+  q += '&frame=' + document.getElementById('frame').value;
+  const t0 = performance.now();
+  try {
+    const r = await fetch('/render?' + q);
+    if (r.ok) {
+      const b = await r.blob();
+      document.getElementById('view').src = URL.createObjectURL(b);
+      const s = await (await fetch('/stats')).json();
+      document.getElementById('stat').textContent =
+          (performance.now() - t0).toFixed(0) + ' ms | ' +
+          (s.rays_per_sec / 1e6).toFixed(2) + ' Mrays/s';
+    }
+  } catch (e) {}
   setTimeout(tick, 250);
 }
 tick();
@@ -59,18 +112,21 @@ class VisManager:
         self.lock = threading.Lock()
         self.iter_t0 = None
         self.rays_per_sec = 0.0
+        self.paused = False
         self.pixels_per_step = cfg.get("pixels_per_step", 66 * 515)
         self.max_frame = int(cfg.get("max_frame", 1))
         self.server = None
-        port = cfg.get("port", 8080)
+        self.port = cfg.get("port", 8080)
         if cfg.get("enabled", True) and render_fn is not None:
             try:
-                self._start_server(port)
+                self._start_server(self.port)
             except OSError as e:
-                print(f"[viewer] disabled (port {port}: {e})")
+                print(f"[viewer] disabled (port {self.port}: {e})")
 
     # -- train-loop protocol (reference viser_utils.py:43-55) -------------
     def checkin(self):
+        while self.paused:           # nerfview's paused state
+            time.sleep(0.05)
         self.lock.acquire()
         self.iter_t0 = time.perf_counter()
 
@@ -88,6 +144,18 @@ class VisManager:
             def log_message(self, *a):
                 pass
 
+            def do_POST(self):
+                if urlparse(self.path).path == "/pause":
+                    mgr.paused = not mgr.paused
+                    body = json.dumps({"paused": mgr.paused}).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
+                self.send_response(404)
+                self.end_headers()
+
             def do_GET(self):
                 url = urlparse(self.path)
                 if url.path == "/":
@@ -98,12 +166,27 @@ class VisManager:
                     self.end_headers()
                     self.wfile.write(body)
                     return
+                if url.path == "/stats":
+                    body = json.dumps(
+                        {"rays_per_sec": mgr.rays_per_sec,
+                         "paused": mgr.paused}).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
                 if url.path == "/render":
                     q = parse_qs(url.query)
                     get = lambda k, d: float(q.get(k, [d])[0])
-                    png = mgr._render_png(get("az", 0), get("el", 15),
-                                          get("dist", 25),
-                                          int(get("frame", 0)))
+                    if q.get("mode", ["orbit"])[0] == "fly":
+                        c2w = _fly_c2w(
+                            np.array([get("px", 0), get("py", -2),
+                                      get("pz", -10)]),
+                            get("yaw", 0), get("pitch", 0))
+                    else:
+                        c2w = _orbit_c2w(get("az", 0), get("el", 15),
+                                         get("dist", 25))
+                    png = mgr._render_png(c2w, int(get("frame", 0)))
                     self.send_response(200)
                     self.send_header("Content-Type", "image/png")
                     self.end_headers()
@@ -117,9 +200,8 @@ class VisManager:
         t.start()
         print(f"[viewer] http://localhost:{port}")
 
-    def _render_png(self, az, el, dist, frame) -> bytes:
+    def _render_png(self, c2w, frame) -> bytes:
         from PIL import Image
-        c2w = _orbit_c2w(az, el, dist)
         with self.lock:                       # share the chip with training
             img = self.render_fn(c2w, frame)  # -> [3, H, W] float in [0,1]
         arr = (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8)
@@ -133,6 +215,19 @@ def _orbit_c2w(az_deg, el_deg, dist):
     cam = dist * np.array([np.cos(el) * np.sin(az), -np.sin(el),
                            np.cos(el) * np.cos(az)])
     fwd = -cam / (np.linalg.norm(cam) + 1e-9)
+    return _look_c2w(cam, fwd)
+
+
+def _fly_c2w(pos, yaw_deg, pitch_deg):
+    """Free-perspective pose from position + yaw/pitch (y points down,
+    matching the LiDAR frame used throughout)."""
+    y, p = np.deg2rad(yaw_deg), np.deg2rad(pitch_deg)
+    fwd = np.array([np.cos(p) * np.sin(y), -np.sin(p),
+                    np.cos(p) * np.cos(y)])
+    return _look_c2w(pos, fwd)
+
+
+def _look_c2w(cam, fwd):
     right = np.cross([0.0, -1.0, 0.0], fwd)
     right /= np.linalg.norm(right) + 1e-9
     up = np.cross(fwd, right)

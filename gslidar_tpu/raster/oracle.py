@@ -41,8 +41,8 @@ def rasterize_dense(means3D, scales, rotations, opacity, shs, features, mask,
     # tie-breaking reproduces exactly.
     if respect_tile_rect:
         dq_max = (1 << settings.depth_bits) - 1
-        dnorm = jnp.clip((prep.depth - near) / max(far - near, 1e-12),
-                         0.0, 1.0)
+        dnorm = jnp.clip((prep.depth - near)
+                         / jnp.maximum(far - near, 1e-12), 0.0, 1.0)
         dq = jnp.minimum((dnorm * float(dq_max)).astype(jnp.int32), dq_max)
         order = jnp.argsort(jnp.where(prep.valid, dq, jnp.iinfo(jnp.int32).max))
     else:
