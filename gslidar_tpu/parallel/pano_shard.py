@@ -37,12 +37,14 @@ from gslidar_tpu.raster.settings import RasterSettings
 def render_pano_sharded(means3D, scales, rotations, opacity, shs, features,
                         mask, viewmat, campos, bg, sh_degree, scale_factor,
                         settings: RasterSettings, mesh: Mesh,
-                        axis: str = "data"):
+                        axis: str = "data", colors_precomp=None):
     """Render one panorama with its width sharded across ``mesh[axis]``.
 
     All gaussian arrays are replicated; returns (color, feature, depth,
     alpha, contrib, final_T) with full [*, H, W] shapes (width axis
-    sharded across the mesh, transparent to the caller).
+    sharded across the mesh, transparent to the caller). With
+    ``colors_precomp`` [P, C] the SH stage is skipped (shs may be None —
+    see render_pano_sh_sharded).
     """
     n = mesh.shape[axis]
     W = settings.width
@@ -51,9 +53,13 @@ def render_pano_sharded(means3D, scales, rotations, opacity, shs, features,
     sub = dataclasses.replace(settings, width=W // n)
     vmin, vmax, hmin, hmax = settings.angle_bounds
     step = (hmax - hmin) / n
+    use_colors = colors_precomp is not None
+    sh_or_col = colors_precomp if use_colors else shs
 
-    def slice_fn(means3D, scales, rotations, opacity, shs, features, mask,
-                 viewmat, campos, bg):
+    def slice_fn(means3D, scales, rotations, opacity, sh_or_col, features,
+                 mask, viewmat, campos, bg):
+        shs_, colors_ = ((None, sh_or_col) if use_colors
+                         else (sh_or_col, None))
         d = jax.lax.axis_index(axis).astype(jnp.float32)
         # Render in a camera yawed so this slice is centred at phi=0: keeps
         # the slice's angular window away from the atan2 branch cut at
@@ -72,9 +78,10 @@ def render_pano_sharded(means3D, scales, rotations, opacity, shs, features,
                   jnp.asarray(vmax, jnp.float32),
                   -0.5 * step * jnp.ones(()), 0.5 * step * jnp.ones(()))
         cull = (bounds[0], bounds[1], hmin - center, hmax - center)
-        out = rasterize(means3D, scales, rotations, opacity, shs, features,
+        out = rasterize(means3D, scales, rotations, opacity, shs_, features,
                         mask, vm, campos, bg, sh_degree, scale_factor,
-                        settings=sub, angle_bounds=bounds, cull_bounds=cull)
+                        settings=sub, angle_bounds=bounds, cull_bounds=cull,
+                        colors_precomp=colors_)
         # normals were rendered in the yawed camera frame; rotate the last
         # 3 feature channels back to the caller's camera frame
         feat = out.feature
@@ -93,8 +100,58 @@ def render_pano_sharded(means3D, scales, rotations, opacity, shs, features,
                    in_specs=(rep,) * 10,
                    out_specs=(img,) * 6,
                    check_vma=False)
-    return fn(means3D, scales, rotations, opacity, shs, features, mask,
-              viewmat, campos, bg)
+    return fn(means3D, scales, rotations, opacity, sh_or_col, features,
+              mask, viewmat, campos, bg)
+
+
+def render_pano_sh_sharded(means3D, scales, rotations, opacity, shs,
+                           features, mask, viewmat, campos, bg, sh_degree,
+                           scale_factor, settings: RasterSettings,
+                           mesh: Mesh, axis: str = "data"):
+    """hfov-sliced render with the SH color stage GAUSSIAN-SHARDED.
+
+    SURVEY §2.3 item (2): the per-gaussian preprocess is sharded over the
+    P axis where it pays — the [P, 16, C] SH coefficient table is the
+    dominant per-gaussian array (~256 B/gaussian; 2.5 GB at an OPV2V-scale
+    10M points) and its evaluation the dominant per-gaussian FLOPs. The
+    table arrives SHARDED over ``mesh[axis]`` and never materializes
+    replicated: each device evaluates view colors for its P/n shard (the
+    view direction depends only on the shared camera POSITION, not on the
+    per-slice yaw, so one evaluation serves every slice), ONE small
+    all_gather moves [P, C] colors (16 B/gaussian) over ICI, and the
+    geometry preprocess + binning + compositing run per hfov slice as in
+    render_pano_sharded.
+
+    Args are as render_pano_sharded except ``shs`` must be sharded
+    [P, K, C] with P divisible by the mesh axis size.
+    """
+    from gslidar_tpu.ops.sh import eval_sh
+
+    n = mesh.shape[axis]
+    P_total = means3D.shape[0]
+    if P_total % n != 0:
+        raise ValueError(f"P {P_total} not divisible by mesh axis size {n}")
+    shard = P_total // n
+
+    def colors_fn(means3D, campos, shs_local):
+        d = jax.lax.axis_index(axis)
+        local_means = jax.lax.dynamic_slice_in_dim(means3D, d * shard,
+                                                   shard, 0)
+        dirs = local_means - campos[None, :]
+        dirs = dirs / jnp.sqrt(jnp.sum(dirs * dirs, -1, keepdims=True)
+                               + 1e-24)
+        col, _ = eval_sh(sh_degree, shs_local, dirs)
+        # gather the small color table over ICI; shs stays sharded
+        return jax.lax.all_gather(col, axis, tiled=True)
+
+    colors = shard_map(colors_fn, mesh=mesh,
+                       in_specs=(P(), P(), P(axis)),
+                       out_specs=P(),
+                       check_vma=False)(means3D, campos, shs)
+    return render_pano_sharded(means3D, scales, rotations, opacity, None,
+                               features, mask, viewmat, campos, bg,
+                               sh_degree, scale_factor, settings, mesh,
+                               axis, colors_precomp=colors)
 
 
 def render_pano_sharded_jit(settings: RasterSettings, mesh: Mesh,

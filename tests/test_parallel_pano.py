@@ -45,21 +45,37 @@ out = render_pano_sharded(means, scales, rots, opac, shs, feats, mask, vm,
                           jnp.zeros(3), bg, 3, 1.0, settings, mesh)
 color, feature, depth, alpha, contrib, final_T = out
 
-for name, a, b in (("color", ref.color, color),
-                   ("feature", ref.feature, feature),
-                   ("depth", ref.depth, depth),
-                   ("alpha", ref.alpha, alpha),
-                   ("final_T", ref.final_T, final_T)):
-    a = np.asarray(a); b = np.asarray(b)
-    assert a.shape == b.shape, (name, a.shape, b.shape)
-    d = np.abs(a - b)
-    # the slice render is exact up to f32 roundoff of the per-slice yaw
-    # rotation, which can flip compositing order / alpha-cutoff inclusion
-    # for a handful of seam pixels; assert bulk agreement + bounded tail
-    scale = 1.0 + float(np.abs(a).mean())
-    assert d.mean() < 2e-4 * scale, (name, d.mean(), scale)
-    assert np.quantile(d, 0.999) < 5e-3 * scale, \
-        (name, np.quantile(d, 0.999), scale)
+def check(tag, pairs):
+    for name, a, b in pairs:
+        a = np.asarray(a); b = np.asarray(b)
+        assert a.shape == b.shape, (tag, name, a.shape, b.shape)
+        d = np.abs(a - b)
+        # the slice render is exact up to f32 roundoff of the per-slice
+        # yaw rotation, which can flip compositing order / alpha-cutoff
+        # inclusion for a handful of seam pixels; assert bulk agreement
+        # + bounded tail
+        scale = 1.0 + float(np.abs(a).mean())
+        assert d.mean() < 2e-4 * scale, (tag, name, d.mean(), scale)
+        assert np.quantile(d, 0.999) < 5e-3 * scale, \
+            (tag, name, np.quantile(d, 0.999), scale)
+
+check("width-shard", (("color", ref.color, color),
+                      ("feature", ref.feature, feature),
+                      ("depth", ref.depth, depth),
+                      ("alpha", ref.alpha, alpha),
+                      ("final_T", ref.final_T, final_T)))
+
+# gaussian-sharded SH stage (SURVEY 2.3 item 2): the [P,16,C] SH table
+# stays sharded over the mesh; one [P,C] all_gather of colors
+from gslidar_tpu.parallel.pano_shard import render_pano_sh_sharded
+color2, feat2, depth2, alpha2, _c2, fT2 = render_pano_sh_sharded(
+    means, scales, rots, opac, shs, feats, mask, vm, jnp.zeros(3), bg,
+    3, 1.0, settings, mesh)
+check("sh-shard", (("color", ref.color, color2),
+                   ("feature", ref.feature, feat2),
+                   ("depth", ref.depth, depth2),
+                   ("alpha", ref.alpha, alpha2),
+                   ("final_T", ref.final_T, fT2)))
 print("PANO_SHARD_OK")
 """
 
