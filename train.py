@@ -58,7 +58,7 @@ def make_settings(args, h, w):
         tile_h=int(args.get("raster_tile_h", tile_h)),
         tile_w=int(args.get("raster_tile_w", tile_w)),
         backend=backend,
-        pair_cap=int(args.get("raster_pair_cap", 1 << 21)),
+        pair_cap=int(args.get("raster_pair_cap", 1 << 19)),
         tile_chunk=int(args.get("raster_tile_chunk", 64)),
         tile_list_cap=int(args.get("raster_tile_list_cap", 4096)))
 
