@@ -210,17 +210,21 @@ def _bwd_kernel(chunk_tile_ref, step_starts_ref, tile_starts_ref, row0_ref,
         state_ref[3] = P_inc[CHUNK - 1:CHUNK, :]
 
         # distortion (backward.cu:372-380): b_k from totals; the last_dL_dT
-        # chain X_{k+1} = SabT_k * inv(T_k u_k), SabT_k = TOT_abT - prefix
-        m = far / (far - near) * (1.0 - near / d_safe)
-        A_fin = 1.0 - T_fin
-        b = gDist * (M2_tot + m * m * A_fin - 2.0 * m * M1_tot)
-        TOT_abT = gDist * (M2_tot * W_tot + A_fin * M2_tot
-                           - 2.0 * M1_tot * M1_tot)
-        P_inc = state_ref[1] + _prefix_sum(jnp.where(accept, w * b, 0.0),
-                                           CHUNK)
-        SabT = TOT_abT - P_inc
-        core = core + (b - SabT * inv_Tu)
-        state_ref[1] = P_inc[CHUNK - 1:CHUNK, :]
+        # chain X_{k+1} = SabT_k * inv(T_k u_k), SabT_k = TOT_abT - prefix.
+        # Statically gated on compute_distortion to match the forward's
+        # zeroed dist/M1/M2 outputs — otherwise a (bogus) cotangent on the
+        # zero distortion channel would emit b = gDist*m^2*A_fin gradients.
+        if settings.compute_distortion:
+            m = far / (far - near) * (1.0 - near / d_safe)
+            A_fin = 1.0 - T_fin
+            b = gDist * (M2_tot + m * m * A_fin - 2.0 * m * M1_tot)
+            TOT_abT = gDist * (M2_tot * W_tot + A_fin * M2_tot
+                               - 2.0 * M1_tot * M1_tot)
+            P_inc = state_ref[1] + _prefix_sum(jnp.where(accept, w * b, 0.0),
+                                               CHUNK)
+            SabT = TOT_abT - P_inc
+            core = core + (b - SabT * inv_Tu)
+            state_ref[1] = P_inc[CHUNK - 1:CHUNK, :]
 
         # the T_fin path applies to every OK instance (T keeps decaying
         # past the 1e-4 floor in the forward), not only accepted ones
@@ -229,13 +233,14 @@ def _bwd_kernel(chunk_tile_ref, step_starts_ref, tile_starts_ref, row0_ref,
             - gTfin * jnp.where(ok, T_fin / u_ok, 0.0)
 
         # ---- depth cotangent per instance -------------------------------
-        dmd_dd = (far * near) / ((far - near) * d_safe * d_safe)
-        dL_dmd = 2.0 * w * (m * A_fin - M1_tot) * gDist
         pos1 = (slot - start + 1).astype(jnp.float32)
         med_hit = accept & (pos1 == med_pos)
         dL_dd = (w * (gD + 2.0 * d_safe * gD2)
-                 + jnp.where(med_hit, gMed, 0.0)
-                 + dL_dmd * dmd_dd)
+                 + jnp.where(med_hit, gMed, 0.0))
+        if settings.compute_distortion:
+            dmd_dd = (far * near) / ((far - near) * d_safe * d_safe)
+            dL_dmd = 2.0 * w * (m * A_fin - M1_tot) * gDist
+            dL_dd = dL_dd + dL_dmd * dmd_dd
 
         # ---- chain alpha -> G/opa, rho, geometry ------------------------
         clamp_ok = alpha_raw < MAX_ALPHA

@@ -75,6 +75,35 @@ def build_transmat(means3D, scales, quats, viewmat, scale_modifier=1.0):
     return T, normal
 
 
+def wrap_col_rect(cx_pix, rad_i, W, tw, gx):
+    """Tile-column rect of a circular-pano splat: first covered column and
+    modular width (binning walks ``col_a .. col_a + wt - 1 (mod gx)``).
+
+    The covered pixel span is [cx - rad_i, cx + rad_i] wrapped at W while
+    the tile grid wraps at gx (the two periods differ when the last tile
+    is partial, gx*tw > W). The span wraps the seam iff a + 2*rad_i >= W
+    with a = mod(cx - rad_i, W); then the covered set is [a, W) u [0, b]
+    -> columns col(a)..gx-1 plus 0..col(b), i.e. (gx - col_a) + col_b + 1
+    clamped to one revolution. (A single mod(col_b - col_a, gx) + 1 is
+    WRONG when the span wraps but col_b >= col_a still holds:
+    near-full-revolution spans in (W - tw, W) would collapse to a sliver
+    and silently drop the splat from most tiles in both render and
+    gradients.)
+    """
+    a = jnp.mod(cx_pix - rad_i, W)
+    b = jnp.mod(cx_pix + rad_i, W)
+    col_a = jnp.clip((a / tw).astype(jnp.int32), 0, gx - 1)
+    col_b = jnp.clip((b / tw).astype(jnp.int32), 0, gx - 1)
+    wrapped = (a + 2.0 * rad_i) >= W
+    wt = jnp.where(wrapped,
+                   jnp.minimum(gx, gx - col_a + col_b + 1),
+                   col_b - col_a + 1)
+    # spans of a full revolution or more cover everything (the wrapped
+    # union formula above assumes the span stops before closing the loop)
+    wt = jnp.where(2.0 * rad_i >= W, gx, wt)
+    return col_a, col_a + wt
+
+
 class PreprocessOut(NamedTuple):
     T: jnp.ndarray            # [P, 3, 3]
     xy: jnp.ndarray           # [P, 2] pixel coords of the center (x=width)
@@ -185,14 +214,7 @@ def preprocess(means3D, scales, quats, opacity, shs, mask, viewmat, campos,
         # column in WRAPPED pixel space; the covered set is the modular
         # column run col_a..col_a+wt-1 (binning walks it mod gx). Capped at
         # one full revolution.
-        a = jnp.mod(cx_pix - rad_i, W)
-        b = jnp.mod(cx_pix + rad_i, W)
-        col_a = jnp.clip((a / tw).astype(jnp.int32), 0, gx - 1)
-        col_b = jnp.clip((b / tw).astype(jnp.int32), 0, gx - 1)
-        wt = jnp.mod(col_b - col_a, gx) + 1
-        wt = jnp.where(2.0 * rad_i >= W, gx, wt)
-        rect_min_x = col_a
-        rect_max_x = col_a + wt
+        rect_min_x, rect_max_x = wrap_col_rect(cx_pix, rad_i, W, tw, gx)
     else:
         rect_min_x = jnp.clip(((cx_pix - rad_i) / tw).astype(jnp.int32), 0, gx)
         rect_max_x = jnp.clip(((cx_pix + rad_i + tw - 1) / tw).astype(jnp.int32), 0, gx)
