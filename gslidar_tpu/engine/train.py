@@ -109,6 +109,7 @@ def make_train_step(args, cfg: G.GaussianConfig, settings: RasterSettings,
 
         log = dict(log)
         log["num_dropped"] = pkg.num_dropped
+        log["num_pairs"] = pkg.num_pairs
         return TrainState(new_params, aux, new_opt, new_prior,
                           new_prior_opt), loss, log
 
@@ -125,6 +126,34 @@ def _transmat_for_stats(params, viewmat, cfg, timestamp, time_shift):
     T, _ = build_transmat(means3D, G.get_scaling(params), params["rotation"],
                           viewmat)
     return T
+
+
+def auto_pair_cap(cap, pairs_now, pairs_hi, *, floor=1 << 15,
+                  growth_headroom=1.25, shrink_at=4.0, shrink_to=2.0):
+    """Next power-of-two instance-list cap, or None to keep the current one.
+
+    GROW as soon as the live (gaussian, tile) instance count exceeds the
+    cap — the step just rendered from a clipped list; SHRINK when the
+    recent high-water mark ``pairs_hi`` leaves >= ``shrink_at``x headroom,
+    because binning cost is cap-linear (~17 ms per M slots of dead cap at
+    1M gaussians). Growth targets ``growth_headroom``x the live count,
+    shrink targets ``shrink_to``x the high-water mark; the 2x/4x gap is
+    the hysteresis that prevents recompile thrash. This mirrors the CUDA
+    rasterizer's exact per-frame buffer sizing (rasterize_points.cu:25-33)
+    at power-of-two granularity (each change costs one re-jit, like the
+    existing gaussian-capacity growth path).
+    """
+    def pow2(n):
+        return 1 << max(int(n) - 1, 1).bit_length()
+
+    if pairs_now > cap:
+        return max(pow2(pairs_now * growth_headroom), floor)
+    if pairs_hi is not None and cap > max(pairs_hi, 1) * shrink_at \
+            and cap > floor:
+        new = max(pow2(pairs_hi * shrink_to), floor)
+        if new < cap:
+            return new
+    return None
 
 
 def make_densify_fn(args, cfg: G.GaussianConfig):

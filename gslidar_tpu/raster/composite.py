@@ -77,6 +77,16 @@ def _untile(img_tp: jnp.ndarray, settings: RasterSettings) -> jnp.ndarray:
     return x[:, :settings.height, :settings.width]
 
 
+def tile_list_overflow(binning: Binning, settings: RasterSettings):
+    """Instances beyond ``tile_list_cap`` in their tile's sorted list —
+    the XLA scan compositor processes only the first ``tile_list_cap``
+    instances per tile (the CUDA kernel has no such cap,
+    rasterizer_impl.cu:308-354), so any positive value here means the
+    render silently clipped. Callers fold this into ``num_dropped``."""
+    counts = binning.tile_starts[1:] - binning.tile_starts[:-1]
+    return jnp.sum(jnp.maximum(counts - settings.tile_list_cap, 0))
+
+
 def composite(binning: Binning, prep: PreprocessOut, features: jnp.ndarray,
               opacity: jnp.ndarray, bg: jnp.ndarray, scale_factor,
               settings: RasterSettings, angle_bounds=None) -> TileImages:
@@ -87,22 +97,7 @@ def composite(binning: Binning, prep: PreprocessOut, features: jnp.ndarray,
         opacity: [P] activated opacity (possibly * marginal_t).
         bg: [C] background color, weighted by final transmittance.
     """
-    n_tiles = settings.num_tiles
-    pix = settings.tile_pixels
-    chunk = settings.tile_chunk
-    n_chunks = (settings.tile_list_cap + chunk - 1) // chunk
     C = prep.color.shape[-1]
-    S = features.shape[-1]
-    K = binning.gid_sorted.shape[0]
-
-    px, py, sphi, cphi, stheta, ctheta, _inside = _tile_pixel_grids(
-        settings, angle_bounds)
-    near = NEAR_N * scale_factor
-    far = FAR_N * scale_factor
-
-    tile_starts = binning.tile_starts[:-1]
-    tile_ends = binning.tile_starts[1:]
-    carange = jnp.arange(chunk, dtype=jnp.int32)
 
     # Pre-gather all per-instance data into sorted order ONCE — the scan
     # body then reads contiguous 64-row runs instead of doing a random
@@ -113,6 +108,35 @@ def composite(binning: Binning, prep: PreprocessOut, features: jnp.ndarray,
         Tcols, prep.xy, prep.depth[:, None], prep.normal,
         opacity[:, None], prep.color, features], axis=1)      # [P, 20+C+S]
     sorted_data = packed[binning.gid_sorted]                  # [K, D]
+    return composite_rows(sorted_data, binning.tile_starts, C,
+                          features.shape[-1], bg, scale_factor, settings,
+                          angle_bounds)
+
+
+def composite_rows(sorted_data: jnp.ndarray, tile_starts_full: jnp.ndarray,
+                   C: int, S: int, bg: jnp.ndarray, scale_factor,
+                   settings: RasterSettings, angle_bounds=None) -> TileImages:
+    """Blend instance rows already in tile-depth order.
+
+    ``sorted_data`` is [K, 16 + C + S] in the pack_payload layout (9 T
+    column-triples, xy, depth, normal, opacity, C colors, S features);
+    ``tile_starts_full`` is the [num_tiles + 1] range table. Used directly
+    by the gaussian-sharded renderer whose instances arrive pre-routed
+    (parallel/pano_shard.py) — `composite` packs and delegates here."""
+    n_tiles = settings.num_tiles
+    pix = settings.tile_pixels
+    chunk = settings.tile_chunk
+    n_chunks = (settings.tile_list_cap + chunk - 1) // chunk
+    K = sorted_data.shape[0]
+
+    px, py, sphi, cphi, stheta, ctheta, _inside = _tile_pixel_grids(
+        settings, angle_bounds)
+    near = NEAR_N * scale_factor
+    far = FAR_N * scale_factor
+
+    tile_starts = tile_starts_full[:-1]
+    tile_ends = tile_starts_full[1:]
+    carange = jnp.arange(chunk, dtype=jnp.int32)
 
     def chunk_body(carry, c):
         (T_run, C_acc, F_acc, D_acc, D2_acc, dist_acc, M1, M2,
@@ -157,9 +181,9 @@ def composite(binning: Binning, prep: PreprocessOut, features: jnp.ndarray,
         rho3d = s1 * s1 + s2 * s2
 
         dxp = bc(xy[..., 0]) - px[:, None, :]
-        if settings.wrap_x:
+        if settings.dxp_wrap_period:
             # circular pano: pixel distance wraps at the phi = +-pi seam
-            Wf = float(settings.width)
+            Wf = settings.dxp_wrap_period
             dxp = dxp - Wf * jnp.round(dxp * (1.0 / Wf))
         dyp = bc(xy[..., 1]) - py[:, None, :]
         rho2d = FILTER_INV_SQUARE * (dxp * dxp + dyp * dyp)
@@ -236,7 +260,7 @@ def composite(binning: Binning, prep: PreprocessOut, features: jnp.ndarray,
         return (T_run, C_acc, F_acc, D_acc, D2_acc, dist_acc, M1, M2,
                 med_depth, med_pos, n_contrib), None
 
-    dt = prep.T.dtype
+    dt = sorted_data.dtype
     z_tp = jnp.zeros((n_tiles, pix), dt)
     init = (jnp.ones((n_tiles, pix), dt),                 # T
             jnp.zeros((n_tiles, C, pix), dt),             # color

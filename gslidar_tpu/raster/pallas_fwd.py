@@ -369,8 +369,8 @@ def run_forward(data, tile_starts, params, settings: RasterSettings,
 def make_params(scale_factor, settings: RasterSettings, angle_bounds=None):
     VFOV_min, VFOV_max, HFOV_min, HFOV_max = (
         angle_bounds if angle_bounds is not None else settings.angle_bounds)
-    wrap_w = float(settings.width) if settings.wrap_x else 0.0
-    wrap_inv = 1.0 / wrap_w if settings.wrap_x else 0.0
+    wrap_w = settings.dxp_wrap_period
+    wrap_inv = 1.0 / wrap_w if wrap_w else 0.0
     return jnp.stack([
         jnp.asarray(NEAR_N * scale_factor, jnp.float32),
         jnp.asarray(FAR_N * scale_factor, jnp.float32),

@@ -71,7 +71,12 @@ def rasterize(means3D, scales, rotations, opacity, shs, features, mask,
                                 prep.tiles_touched, scale_factor, settings)
         tiles = composite(binning, prep, features, opacity, bg, scale_factor,
                           settings, angle_bounds)
-        num_pairs, num_dropped = binning.num_pairs, binning.num_dropped
+        # surface the XLA path's per-tile list cap as dropped instances
+        # (the pallas path is cap-free; the CUDA reference has no cap)
+        from gslidar_tpu.raster.composite import tile_list_overflow
+        num_pairs = binning.num_pairs
+        num_dropped = binning.num_dropped + tile_list_overflow(binning,
+                                                               settings)
     return RasterOut(
         color=tiles.color, feature=tiles.feature, depth=tiles.depth,
         alpha=tiles.alpha, contrib=tiles.contrib, final_T=tiles.final_T,

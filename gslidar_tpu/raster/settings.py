@@ -61,6 +61,15 @@ class RasterSettings:
                                   # prefix sums cuts ~25% of the
                                   # compositing kernel's VPU ops. Static:
                                   # False zeroes the dist/M1/M2 outputs.
+    wrap_period: float = 0.0      # override for the dxp low-pass wrap
+                                  # period in PIXELS (0 = auto: width when
+                                  # wrap_x else none). A gaussian-sharded
+                                  # slice renders a non-circular sub-grid
+                                  # (wrap_x=False) of a circular GLOBAL
+                                  # panorama: splat centers keep global
+                                  # pixel x offsets, so the 2D pixel
+                                  # distance must wrap at the GLOBAL
+                                  # width (parallel/pano_shard.py).
     payload_in_sort: bool = False # EXPERIMENTAL: carry the render
                                   # payload through the binning sort (one
                                   # ~30-operand lax.sort) instead of a
@@ -102,6 +111,13 @@ class RasterSettings:
         HFOV_max = self.hfov[1] * math.pi / 180
         HFOV_min = self.hfov[0] * math.pi / 180
         return VFOV_min, VFOV_max, HFOV_min, HFOV_max
+
+    @property
+    def dxp_wrap_period(self) -> float:
+        """Pixel period of the 2D low-pass distance wrap (0 = no wrap)."""
+        if self.wrap_period:
+            return float(self.wrap_period)
+        return float(self.width) if self.wrap_x else 0.0
 
     @property
     def depth_bits(self) -> int:

@@ -166,3 +166,29 @@ def test_grow_capacity(rng):
     assert int(a2.alive.sum()) == 100
     np.testing.assert_allclose(np.asarray(p2["xyz"][:256]),
                                np.asarray(params["xyz"]))
+
+
+def test_auto_pair_cap_both_directions():
+    """Growth on live overflow; shrink on sustained >=4x headroom; hysteresis
+    in between (round-2 verdict item 2)."""
+    from gslidar_tpu.engine.train import auto_pair_cap
+
+    # grow: live pairs exceed the cap -> next pow2 >= 1.25x pairs
+    new = auto_pair_cap(1 << 19, 1_000_000, None)
+    assert new == 2 << 20                      # 1.25M -> 2^21
+    assert auto_pair_cap(1 << 19, (1 << 19) + 1, None) == 1 << 20
+
+    # keep: within cap, window not yet full (hi=None)
+    assert auto_pair_cap(1 << 21, 1_000_000, None) is None
+    # keep: hysteresis zone (cap = 2.1x high-water mark)
+    assert auto_pair_cap(1 << 21, 900_000, 1_000_000) is None
+
+    # shrink: sustained 8x headroom -> pow2 >= 2x high-water mark
+    new = auto_pair_cap(1 << 22, 400_000, 500_000)
+    assert new == 1 << 20                      # 1.0M -> 2^20
+    # shrink never goes below the floor
+    assert auto_pair_cap(1 << 16, 10, 10) == 1 << 15
+    assert auto_pair_cap(1 << 15, 10, 10) is None
+
+    # a shrink target equal to the cap is not a change
+    assert auto_pair_cap(1 << 20, 100_000, (1 << 20) // 4 + 1) is None

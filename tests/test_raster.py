@@ -234,3 +234,39 @@ def test_pair_overflow_reported(rng):
                            tile_chunk=16, tile_list_cap=256)
     tiled, _dense = run_both(make_scene(rng, P=96), settings=small)
     assert float(tiled.num_dropped) > 0
+
+
+def test_wrap_col_rect_covers_pixel_walk(rng):
+    """The circular-pano column rect must cover every tile column the
+    wrapped pixel span [cx - rad, cx + rad] touches — including the
+    near-full-revolution spans in (W - tw, W) that the old single-mod
+    formula collapsed to one column (advisor round-2 finding)."""
+    from gslidar_tpu.raster.preprocess import wrap_col_rect
+    W, tw = 1030, 32
+    gx = (W + tw - 1) // tw                               # 33, partial last
+    cases = [(557.5, 507.0)]                              # a=50, span=1014
+    for _ in range(300):
+        cases.append((float(rng.uniform(-W, 2 * W)),
+                      float(np.ceil(rng.uniform(0.5, 0.7 * W)))))
+    cx = jnp.asarray([c for c, _ in cases], jnp.float32)
+    rad = jnp.asarray([r for _, r in cases], jnp.float32)
+    lo, hi = wrap_col_rect(cx, rad, W, tw, gx)
+    lo, hi = np.asarray(lo), np.asarray(hi)
+    for i, (c, r) in enumerate(cases):
+        s = np.arange(0.0, 2 * r + 0.25, 0.25)
+        covered = set((((np.mod(c - r, W) + s) % W) // tw).astype(int))
+        emitted = set((lo[i] + np.arange(hi[i] - lo[i])) % gx)
+        assert covered <= emitted, (
+            f"case {i}: cx={c} rad={r} covered {sorted(covered)} "
+            f"!<= emitted {sorted(emitted)}")
+        assert hi[i] - lo[i] <= gx
+
+
+def test_xla_tile_list_overflow_reported(rng):
+    """The XLA scan path's per-tile list cap must surface as num_dropped
+    when a tile's sorted list exceeds it (round-2 weak item 3)."""
+    tiny = RasterSettings(height=48, width=96, vfov=VFOV, hfov=HFOV,
+                          num_extra_features=2, pair_cap=1 << 13,
+                          tile_chunk=16, tile_list_cap=16)
+    tiled, _dense = run_both(make_scene(rng, P=96), settings=tiny)
+    assert float(tiled.num_dropped) > 0

@@ -17,6 +17,7 @@ import os
 import shutil
 import sys
 import time
+from collections import deque
 
 import numpy as np
 
@@ -43,7 +44,7 @@ def build_scene(args):
     return Scene(args, info, shuffle=args.shuffle)
 
 
-def make_settings(args, h, w):
+def make_settings(args, h, w, pair_cap=None, tile_list_cap=None):
     import jax
     from gslidar_tpu.raster.settings import RasterSettings
     on_tpu = jax.devices()[0].platform in ("tpu", "axon")
@@ -52,15 +53,19 @@ def make_settings(args, h, w):
         tile_h, tile_w = 8, 64      # VPU-shaped tiles; 8x128 OOMs the bwd
     else:
         tile_h, tile_w = 16, 16     # CUDA-parity tiles (config.h:13-14)
+    if pair_cap is None:
+        pair_cap = int(args.get("raster_pair_cap", 1 << 19))
+    if tile_list_cap is None:
+        tile_list_cap = int(args.get("raster_tile_list_cap", 4096))
     return RasterSettings(
         height=h, width=w, vfov=tuple(args.vfov), hfov=tuple(args.hfov),
         num_extra_features=4,
         tile_h=int(args.get("raster_tile_h", tile_h)),
         tile_w=int(args.get("raster_tile_w", tile_w)),
         backend=backend,
-        pair_cap=int(args.get("raster_pair_cap", 1 << 19)),
+        pair_cap=pair_cap,
         tile_chunk=int(args.get("raster_tile_chunk", 64)),
-        tile_list_cap=int(args.get("raster_tile_list_cap", 4096)))
+        tile_list_cap=tile_list_cap)
 
 
 def gaussian_config(args, no_time_split=None):
@@ -86,6 +91,7 @@ def training(args):
                                                load_checkpoint,
                                                save_checkpoint)
     from gslidar_tpu.engine.train import (camera_to_batch, init_train_state,
+                                          auto_pair_cap,
                                           make_densify_fn, make_train_step,
                                           reset_opacity_state)
     from gslidar_tpu.models.gaussians import (create_from_pcd, grow_capacity,
@@ -136,9 +142,20 @@ def training(args):
     else:
         data_parallel = False
 
+    # live instance-list cap: auto-sized from the measured per-step
+    # (gaussian, tile) pair count (reference: CUDA sizes these buffers
+    # exactly per frame, rasterize_points.cu:25-33). The XLA backend's
+    # per-tile list cap is auto-grown the same way (the pallas backend is
+    # cap-free; the CUDA kernel has no per-tile cap either).
+    pair_cap_auto = bool(args.get("raster_pair_cap_auto", True))
+    pair_cap_now = int(args.get("raster_pair_cap", 1 << 19))
+    tile_list_cap_now = int(args.get("raster_tile_list_cap", 4096))
+    pairs_window = deque(maxlen=30)
+
     def build_fns(no_time_split):
         w, h = scene.get_wh()
-        settings = make_settings(args, h, w)
+        settings = make_settings(args, h, w, pair_cap=pair_cap_now,
+                                 tile_list_cap=tile_list_cap_now)
         cfg_now = gaussian_config(args, no_time_split=no_time_split)
         if data_parallel:
             step = make_parallel_train_step(args, cfg_now, settings, bg,
@@ -283,8 +300,41 @@ def training(args):
             n_alive = int(np.asarray(jnp.sum(state.aux.alive)))
             rate = iteration / max(time.time() - t_start, 1e-9)
             dropped = int(np.asarray(log.get("num_dropped", 0)))
-            drop_note = (f" PAIR-CAP OVERFLOW: {dropped} instances dropped "
-                         f"(raise raster_pair_cap)" if dropped > 0 else "")
+            pairs_now = int(np.asarray(log.get("num_pairs", 0)))
+            # num_dropped folds two causes: the global instance cap
+            # (num_pairs > pair_cap) and, on the XLA backend only, the
+            # per-tile list cap (composite.tile_list_overflow)
+            pair_drops = max(pairs_now - pair_cap_now, 0)
+            list_drops = max(dropped - pair_drops, 0)
+            drop_note = ""
+            if pair_drops > 0:
+                drop_note += (f" PAIR-CAP OVERFLOW: {pair_drops} instances "
+                              f"dropped (raise raster_pair_cap)")
+            if list_drops > 0:
+                drop_note += (f" TILE-LIST OVERFLOW: {list_drops} instances "
+                              f"dropped (raise raster_tile_list_cap)")
+            rebuild = False
+            if pair_cap_auto and "num_pairs" in log:
+                pairs_window.append(pairs_now)
+                hi = (max(pairs_window)
+                      if len(pairs_window) == pairs_window.maxlen else None)
+                new_cap = auto_pair_cap(pair_cap_now, pairs_now, hi)
+                if new_cap is not None:
+                    print(f"[{iteration}] pair_cap {pair_cap_now} -> "
+                          f"{new_cap} (live pairs {pairs_now})", flush=True)
+                    pair_cap_now = new_cap
+                    pairs_window.clear()
+                    rebuild = True
+                if list_drops > 0:
+                    new_list_cap = tile_list_cap_now * 2
+                    print(f"[{iteration}] tile_list_cap {tile_list_cap_now} "
+                          f"-> {new_list_cap} ({list_drops} dropped)",
+                          flush=True)
+                    tile_list_cap_now = new_list_cap
+                    rebuild = True
+                if rebuild:
+                    (train_step, densify_fn, eval_render, eval_render360,
+                     cfg_now) = build_fns(no_time_split)
             print(f"[{iteration}/{args.iterations}] loss={ema['loss']:.5f} "
                   f"pts={n_alive} it/s={rate:.2f}{drop_note}", flush=True)
             # tensorboard (reference train.py:328-335)
