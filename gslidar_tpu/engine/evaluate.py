@@ -21,6 +21,20 @@ from gslidar_tpu.utils.metrics import (DepthMeter, IntensityMeter, PointsMeter,
 EPS = 1e-5
 
 
+def _check_dropped(pkg, where):
+    """Surface pair-cap overflow during eval: a silently clipped render
+    would skew the reported metrics (training at least prints an
+    overflow note; eval must too)."""
+    dropped = int(np.asarray(pkg.num_dropped))
+    if dropped > 0:
+        print(f"[eval] INSTANCE OVERFLOW in {where}: {dropped} instances "
+              f"dropped (num_pairs={int(np.asarray(pkg.num_pairs))}) — "
+              "reported metrics are rendered from a clipped instance list; "
+              "raise raster_pair_cap (pair-cap) or raster_tile_list_cap "
+              "(XLA per-tile cap)")
+    return dropped
+
+
 def make_eval_render(args, cfg, settings, bg):
     import dataclasses
     sf = float(args.scale_factor)
@@ -43,15 +57,20 @@ def make_eval_render360(args, cfg, settings, bg):
     stitched panorama) — the two-half split of the reference exists only
     because its CUDA settings force it (gaussian_renderer/__init__.py:
     158-227); a circular (wrap_x) panorama renders identically in one
-    pass. Rendered in the FRONT camera frame with hfov (-180, 180), whose
-    pixel mapping lands front at columns [w/2, 3w/2) — exactly the
-    reference stitch layout (breaks 0, w/2, 3w/2, 2w)."""
+    pass. Rendered in the FRONT camera frame with a 360-degree hfov
+    anchored so pano column w//2 carries EXACTLY the front camera's
+    column 0 — the reference stitch layout (breaks 0, w//2, w//2 + w,
+    2w) places the halves at integer columns, which for ODD half-width w
+    (KITTI's 515) sits half a pixel off the naive (-180, 180) grid."""
     import dataclasses
     sf = float(args.scale_factor)
     dynamic = bool(args.dynamic)
     median_depth = bool(args.get("median_depth", False))
+    w = settings.width
+    pix_deg = (settings.hfov[1] - settings.hfov[0]) / w
+    hmin = settings.hfov[0] - (w // 2) * pix_deg
     s360 = dataclasses.replace(
-        settings, width=settings.width * 2, hfov=(-180.0, 180.0),
+        settings, width=w * 2, hfov=(hmin, hmin + 2 * w * pix_deg),
         wrap_x=True, pair_cap=settings.pair_cap * 2,
         compute_distortion=False)
 
@@ -112,6 +131,7 @@ def render_range_map(args, cam_front, cam_back, eval_render, params, alive,
     if eval_render360 is not None:
         pkg = eval_render360(params, alive, prior,
                              camera_to_batch(cam_front), sh_degree)
+        _check_dropped(pkg, "360 eval render")
         depth_pano = _depth3(np.asarray(pkg.depth),
                              np.asarray(pkg.depth_median),
                              np.asarray(pkg.depth_square),
@@ -128,6 +148,7 @@ def render_range_map(args, cam_front, cam_back, eval_render, params, alive,
     for idx, cam in enumerate([cam_front, cam_back]):
         pkg = eval_render(params, alive, prior, camera_to_batch(cam),
                           sh_degree)
+        _check_dropped(pkg, f"eval render ({cam.towards})")
         depth3 = _depth3(np.asarray(pkg.depth), np.asarray(pkg.depth_median),
                          np.asarray(pkg.depth_square), np.asarray(pkg.alpha),
                          args, [np.arange(w)])

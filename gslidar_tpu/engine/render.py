@@ -39,6 +39,7 @@ class RenderPkg(NamedTuple):
     visibility: jnp.ndarray     # [P] bool
     contrib: jnp.ndarray
     num_dropped: jnp.ndarray
+    num_pairs: jnp.ndarray
 
 
 def render(params: G.Params, alive: jnp.ndarray, viewmat, campos, timestamp,
@@ -96,13 +97,16 @@ def render(params: G.Params, alive: jnp.ndarray, viewmat, campos, timestamp,
     if use_prior and prior_param is not None:
         w = prior_param.shape[-1] // 2
         if full360:
-            # stitched layout: cols [0, w/2) = back right half,
-            # [w/2, 3w/2) = front, [3w/2, 2w) = back left half
+            # stitched layout (breaks 0, w//2, w//2 + w, 2w): back image
+            # col j lands at pano col 3w//2 + j for j < w - w//2, else at
+            # j - (w - w//2) — so the back half splits at w - w//2 (NOT
+            # w//2: for odd w, e.g. KITTI's 515, the two differ and the
+            # naive split yields a 2w+1-wide pano)
             front = prior_param[..., :w]
             back = prior_param[..., w:]
+            split = w - w // 2
             prior = jax.nn.sigmoid(jnp.concatenate(
-                [back[..., w // 2:], front, back[..., :w - w // 2]],
-                axis=-1))
+                [back[..., split:], front, back[..., :split]], axis=-1))
         else:
             # dynamic half-slice keeps one compiled fn for both directions
             start = towards_idx * w
@@ -121,4 +125,4 @@ def render(params: G.Params, alive: jnp.ndarray, viewmat, campos, timestamp,
         alpha=out.alpha, feature=rendered_other, normal=normal,
         intensity_sh=intensity_sh, raydrop=jnp.clip(raydrop, 0.0, 1.0),
         radii=out.radii, visibility=out.radii > 0, contrib=out.contrib,
-        num_dropped=out.num_dropped)
+        num_dropped=out.num_dropped, num_pairs=out.num_pairs)

@@ -1,5 +1,6 @@
 """Eval-path tests: 360-degree stitching layout + meters."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -18,6 +19,8 @@ class _FakePkg:
         self.alpha = np.ones((1, h, w), np.float32)
         self.raydrop = np.full((1, h, w), 0.25, np.float32)
         self.intensity_sh = np.full((1, h, w), fill / 10, np.float32)
+        self.num_dropped = np.int32(0)
+        self.num_pairs = np.int32(0)
 
 
 def _cam(towards, colmap_id, h, w):
@@ -53,6 +56,79 @@ def test_render_range_map_stitch_layout():
     assert np.all(depth_pano[0, :, breaks[2]:breaks[3]] == 2.0)
     assert np.all(depth_pano[0, :, breaks[0]:breaks[1]] == 2.0)
     assert np.all(gt_d[0] == 7.0)
+
+
+@pytest.mark.parametrize("width", [64, 65])
+def test_full360_matches_stitch(width):
+    """render_range_map must produce the same panorama through the
+    single-pass wrap branch (eval_render360) as through the reference's
+    front+back two-half stitch — this pins the geometry claim that the
+    back camera's BACK_FLIP_R frame is exactly a 180-degree yaw of the
+    front frame, so a front-frame hfov(-180,180) wrap render covers the
+    stitched layout (round-2 verdict item 6; reference
+    gaussian_renderer/__init__.py:158-227)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gslidar_tpu.data.kitti360 import BACK_FLIP_R
+    from gslidar_tpu.engine.evaluate import (make_eval_render,
+                                             make_eval_render360)
+    from gslidar_tpu.models import gaussians as G
+    from gslidar_tpu.raster.settings import RasterSettings
+
+    # width=65 pins the odd-width prior re-layout (the back half splits
+    # at w - w//2; KITTI's real half-width 515 is odd)
+    h, w = 32, width
+    rng = np.random.default_rng(7)
+    P = 4000
+    # points surrounding the camera in every azimuth
+    az = rng.uniform(-np.pi, np.pi, P)
+    el = rng.uniform(np.radians(-20), np.radians(1.5), P)
+    r = rng.uniform(4.0, 40.0, P)
+    pts = np.stack([r * np.cos(el) * np.sin(az), r * np.sin(el),
+                    r * np.cos(el) * np.cos(az)], axis=1).astype(np.float32)
+    colors = rng.uniform(0, 1, (P, 3)).astype(np.float32)
+    cfg = G.GaussianConfig(random_init_point=0)
+    params, aux = G.create_from_pcd(pts, colors, None, cfg, capacity=4096)
+
+    args = Config({"scale_factor": 1.0, "dynamic": False, "sky_depth": False,
+                   "depth_blend_mode": 0, "median_depth": False, "frames": 1,
+                   "vfov": (-24.9, 2.0), "hfov": (-90, 90)})
+    settings = RasterSettings(height=h, width=w, vfov=(-24.9, 2.0),
+                              hfov=(-90, 90), num_extra_features=4,
+                              pair_cap=1 << 15, tile_chunk=16,
+                              tile_list_cap=2048)
+    bg = jnp.asarray([0, 0, 0, 1.0])
+    eval_render = make_eval_render(args, cfg, settings, bg)
+    eval_render360 = make_eval_render360(args, cfg, settings, bg)
+
+    gt = np.full((1, h, w), 7.0, np.float32)
+    gi = np.full((1, h, w), 0.5, np.float32)
+    front = Camera(colmap_id=0, uid=0, R=np.eye(3), T=np.zeros(3),
+                   vfov=(-24.9, 2.0), hfov=(-90, 90), width=w, height=h,
+                   pts_depth=gt, pts_intensity=gi, towards="forward")
+    back = Camera(colmap_id=1, uid=1, R=np.eye(3) @ BACK_FLIP_R,
+                  T=np.zeros(3), vfov=(-24.9, 2.0), hfov=(-90, 90),
+                  width=w, height=h, pts_depth=gt, pts_intensity=gi,
+                  towards="backward")
+
+    prior = jnp.asarray(rng.normal(size=(1, h, 2 * w)).astype(np.float32))
+    stitch = render_range_map(args, front, back, eval_render, params,
+                              aux.alive, prior, 3, [h, w])
+    wrap = render_range_map(args, front, back, eval_render, params,
+                            aux.alive, prior, 3, [h, w],
+                            eval_render360=eval_render360)
+
+    for name, a, b, tol in [("depth", stitch[0], wrap[0], 5e-2),
+                            ("intensity", stitch[1], wrap[1], 1e-3),
+                            ("raydrop", stitch[2], wrap[2], 1e-3)]:
+        diff = np.abs(a - b)
+        frac_bad = float((diff > tol).mean())
+        # the sort key quantizes depth (settings.depth_bits), so a few
+        # same-bucket blend-order swaps are expected at half boundaries;
+        # the panoramas must agree everywhere else
+        assert frac_bad < 2e-3, (name, frac_bad, float(diff.max()))
+    np.testing.assert_array_equal(stitch[3], wrap[3])
 
 
 def test_meters_shapes():
