@@ -154,6 +154,173 @@ def render_pano_sh_sharded(means3D, scales, rotations, opacity, shs,
                                axis, colors_precomp=colors)
 
 
+def render_pano_gaussian_sharded(means3D, scales, rotations, opacity, shs,
+                                 features, mask, viewmat, campos, bg,
+                                 sh_degree, scale_factor,
+                                 settings: RasterSettings, mesh: Mesh,
+                                 axis: str = "data",
+                                 edge_cap: int | None = None):
+    """Fully gaussian-sharded panorama render with an instance exchange.
+
+    SURVEY §2.3 item (2) completed (round-2 verdict item 4): EVERY
+    per-gaussian stage — projection/transmat/AABB geometry preprocess, SH
+    evaluation, payload packing — runs on a P/n shard per device (the
+    hfov-sliced `render_pano_sharded` replicates the O(P) geometry work
+    on every chip). Pipeline per device:
+
+    1. full-view wrap-aware ``preprocess`` + ``pack_payload`` on the local
+       P/n gaussians, in the shared FRONT camera frame (the atan2 branch
+       cut only affects preprocess, whose wrap path already handles it —
+       so slices need no per-device yaw and the compositing kernels run
+       with per-slice ``angle_bounds`` offsets of one global frame);
+    2. route compact instance records {payload, column run, row range} to
+       the devices owning the overlapped panorama slices: a dense
+       ``all_to_all`` over ICI with a STATIC per-edge capacity
+       ``edge_cap`` and an exact psum'd drop counter (the TPU-native
+       ragged all-to-all: ragged payloads ride a rectangular buffer,
+       overflow is counted, never silent). Wrap-crossing column runs are
+       split into <=2 linear runs before routing so every routed record
+       covers one contiguous local column range;
+    3. each device bins + composites ONLY its slice: ``bin_gaussians``
+       over the received records (their payload rows ride as
+       ``data_rows``) and ``composite_rows`` with slice angle_bounds. The
+       2D low-pass pixel distance still wraps at the GLOBAL width via
+       ``settings.wrap_period``.
+
+    Requires ``settings.wrap_x`` (full-360 panorama), ``width %
+    (n * tile_w) == 0`` (slices own whole tile columns) and ``P % n == 0``.
+
+    Returns (color, feature, depth, alpha, contrib, final_T, num_dropped)
+    with image width sharded over the mesh and ``num_dropped`` counting
+    exchange-cap plus pair-cap plus tile-list losses (0 in a sound run).
+    """
+    from gslidar_tpu.raster.binning import bin_gaussians
+    from gslidar_tpu.raster.composite import (composite_rows,
+                                              tile_list_overflow)
+    from gslidar_tpu.raster.pallas_fwd import pack_payload
+    from gslidar_tpu.raster.preprocess import preprocess
+
+    n = mesh.shape[axis]
+    W, H = settings.width, settings.height
+    tw = settings.tile_w
+    if not settings.wrap_x:
+        raise ValueError("gaussian-sharded render needs a circular pano "
+                         "(settings.wrap_x)")
+    if W % (n * tw) != 0:
+        raise ValueError(f"width {W} not divisible by {n} slices of whole "
+                         f"{tw}-pixel tile columns")
+    P_total = means3D.shape[0]
+    if P_total % n != 0:
+        raise ValueError(f"P {P_total} not divisible by mesh axis size {n}")
+    gx = settings.tiles_x
+    gxl = gx // n                     # tile columns per slice
+    Wl = W // n
+    if edge_cap is None:
+        edge_cap = max(settings.pair_cap // (2 * n), 1024)
+    # the local slice grid is NOT circular; the dxp low-pass distance
+    # still wraps at the global width. Pin the global sort depth bucket
+    # edges so per-slice compositing order == the unsliced render's.
+    sub = dataclasses.replace(settings, width=Wl, wrap_x=False,
+                              wrap_period=float(W),
+                              sort_depth_bits=settings.depth_bits,
+                              pair_cap=-(-settings.pair_cap // n // 128)
+                              * 128)
+    vmin, vmax, hmin, hmax = settings.angle_bounds
+    step = (hmax - hmin) / n
+    S = features.shape[-1] if features is not None else 0
+    C = bg.shape[-1]
+    R = 16 + C + S                    # payload row width (pack_payload)
+    sf = scale_factor
+
+    def body(means3D, scales, rotations, opacity, shs, features, mask,
+             viewmat, campos, bg):
+        d = jax.lax.axis_index(axis)
+        # ---- 1. local preprocess + payload (P/n rows, full view) --------
+        prep = preprocess(means3D, scales, rotations, opacity, shs, mask,
+                          viewmat, campos, sh_degree, sf, settings)
+        payload = pack_payload(prep, opacity, features)        # [Pl, R]
+        live = prep.tiles_touched > 0
+        lo = prep.rect_min[:, 0]                 # modular column run start
+        hi = prep.rect_max[:, 0]                 # lo + wt (may exceed gx)
+        y0 = prep.rect_min[:, 1]
+        y1 = prep.rect_max[:, 1]
+        # split the modular run into <= 2 linear runs in [0, gx)
+        runs = ((lo, jnp.minimum(hi, gx)),
+                (jnp.zeros_like(lo), jnp.maximum(hi - gx, 0)))
+
+        # ---- 2. route records to slice owners ---------------------------
+        fcols = [payload,
+                 y0[:, None].astype(jnp.float32),
+                 y1[:, None].astype(jnp.float32)]
+        send = []
+        n_dropped = jnp.zeros((), jnp.int32)
+        for s in range(n):
+            w0c, w1c = s * gxl, (s + 1) * gxl
+            bufs = []
+            base = jnp.zeros((), jnp.int32)
+            buf = jnp.zeros((edge_cap, R + 5), jnp.float32)
+            for rlo, rhi in runs:
+                m = live & (rhi > rlo) & (rlo < w1c) & (rhi > w0c)
+                rank = jnp.cumsum(m.astype(jnp.int32)) - 1 + base
+                pos = jnp.where(m, rank, edge_cap)
+                rec = jnp.concatenate(
+                    fcols + [rlo[:, None].astype(jnp.float32),
+                             rhi[:, None].astype(jnp.float32),
+                             m[:, None].astype(jnp.float32)], axis=1)
+                buf = buf.at[pos].set(jnp.where(m[:, None], rec, 0.0),
+                                      mode="drop")
+                base = base + jnp.sum(m.astype(jnp.int32))
+            n_dropped = n_dropped + jnp.maximum(base - edge_cap, 0)
+            send.append(buf)
+        send = jnp.concatenate(send, axis=0)     # [n * edge_cap, R + 5]
+        recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0,
+                                  tiled=True)    # [n * edge_cap, R + 5]
+
+        # ---- 3. local binning + compositing on the received records -----
+        pay_r = recv[:, :R]
+        ry0 = recv[:, R].astype(jnp.int32)
+        ry1 = recv[:, R + 1].astype(jnp.int32)
+        rlo = recv[:, R + 2].astype(jnp.int32)
+        rhi = recv[:, R + 3].astype(jnp.int32)
+        rvalid = recv[:, R + 4] > 0.5
+        w0c = d * gxl
+        lo_l = jnp.clip(rlo - w0c, 0, gxl)
+        hi_l = jnp.clip(rhi - w0c, 0, gxl)
+        tt = jnp.where(rvalid, (hi_l - lo_l) * (ry1 - ry0), 0)
+        # splat centers move to slice-local pixel x (the wrap_period
+        # correction restores global circular distances)
+        pay_r = pay_r.at[:, 9].add(
+            jnp.where(rvalid, -(d * Wl).astype(jnp.float32), 0.0))
+        depth_r = pay_r[:, 11]
+        binning = bin_gaussians(
+            jnp.stack([lo_l, ry0], -1), jnp.stack([hi_l, ry1], -1),
+            depth_r, tt.astype(jnp.int32), sf, sub, payload=pay_r)
+        bounds = (jnp.asarray(vmin, jnp.float32),
+                  jnp.asarray(vmax, jnp.float32),
+                  hmin + d.astype(jnp.float32) * step,
+                  hmin + (d.astype(jnp.float32) + 1.0) * step)
+        tiles = composite_rows(binning.data_rows, binning.tile_starts,
+                               C, S, bg, sf, sub, angle_bounds=bounds)
+        n_dropped = (jax.lax.psum(n_dropped, axis)
+                     + jax.lax.psum(binning.num_dropped
+                                    + tile_list_overflow(binning, sub),
+                                    axis))
+        return (tiles.color, tiles.feature, tiles.depth, tiles.alpha,
+                tiles.contrib, tiles.final_T, n_dropped)
+
+    gshard = P(axis)
+    rep = P()
+    img = P(None, None, axis)
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(gshard, gshard, gshard, gshard, gshard, gshard, gshard,
+                  rep, rep, rep),
+        out_specs=(img, img, img, img, img, img, rep),
+        check_vma=False)
+    return fn(means3D, scales, rotations, opacity, shs, features, mask,
+              viewmat, campos, bg)
+
+
 def render_pano_sharded_jit(settings: RasterSettings, mesh: Mesh,
                             sh_degree: int, scale_factor: float,
                             axis: str = "data"):

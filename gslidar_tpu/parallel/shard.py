@@ -16,12 +16,13 @@ TPU-native extension implemented here:
 * densification statistics accumulate per CAMERA (B static unrolled
   calls), so one data-parallel iteration matches B sequential reference
   iterations: radii/visibility update per camera, the viewspace
-  positional gradient is each camera's own T-tap conversion, and denom
-  counts every camera that saw the gaussian. Deviation: the t-statistic
-  adds the batch-MEAN t-gradient per visible camera (per-camera t grads
-  would need B separate backward passes); since invisible cameras
-  contribute ~zero t-gradient, the sum over visible cameras closely
-  tracks the true per-camera accumulation.
+  positional gradient is each camera's own T-tap conversion, the
+  t-statistic is each camera's own t-gradient (exposed by a per-camera
+  zero-valued ``t_tap`` added to the t parameter, so the one batched
+  backward yields all B per-camera t-gradients — no extra passes), and
+  denom counts every camera that saw the gaussian. Parity with B
+  sequential reference iterations is asserted by
+  tests/test_parallel_train_e2e.py::test_dp_densify_stats_parity.
 
 This scales the dominant cost (render fwd+bwd) linearly in chips without
 touching the rasterizer internals. Gaussian-axis sharding of preprocess /
@@ -87,8 +88,10 @@ def make_parallel_train_step(args, cfg: G.GaussianConfig,
                    sh_degree, time_shift, stats_on, apply_update: bool = True):
         cap = state.aux.alive.shape[0]
         T_tap0 = jnp.zeros((B, cap, 3, 3), jnp.float32)
+        t_tap0 = jnp.zeros((B,) + state.params["t"].shape, jnp.float32)
 
-        def per_camera(params, prior, T_tap, cam, tsh):
+        def per_camera(params, prior, T_tap, t_tap, cam, tsh):
+            params = {**params, "t": params["t"] + t_tap}
             pkg = render(params, state.aux.alive, cam.viewmat, cam.campos,
                          cam.timestamp, cam.towards_idx, prior, bg,
                          sh_degree, sf, cfg, settings, dynamic=dynamic,
@@ -98,20 +101,22 @@ def make_parallel_train_step(args, cfg: G.GaussianConfig,
             loss, log = compute_losses(pkg, cam.pts_depth, cam.pts_intensity,
                                        iteration, args, opa,
                                        state.aux.alive.astype(jnp.float32))
-            return loss, (log, pkg.radii, pkg.visibility, pkg.num_dropped)
+            return loss, (log, pkg.radii, pkg.visibility, pkg.num_dropped,
+                          pkg.num_pairs)
 
-        def batched_loss(params, prior, T_tap):
+        def batched_loss(params, prior, T_tap, t_tap):
             losses, aux_out = jax.vmap(
-                lambda tap, cam, tsh: per_camera(params, prior, tap, cam,
-                                                 tsh),
-                in_axes=(0, 0, 0))(T_tap, cams, time_shift)
+                lambda tap, tt, cam, tsh: per_camera(params, prior, tap, tt,
+                                                     cam, tsh),
+                in_axes=(0, 0, 0, 0))(T_tap, t_tap, cams, time_shift)
             # mean over the batch axis == psum/B over the mesh (ICI)
             return jnp.mean(losses), aux_out
 
-        grad_fn = jax.value_and_grad(batched_loss, argnums=(0, 1, 2),
+        grad_fn = jax.value_and_grad(batched_loss, argnums=(0, 1, 2, 3),
                                      has_aux=True)
-        ((loss, (log_b, radii_b, vis_b, ndrop_b)),
-         (gp, gprior, gtap)) = grad_fn(state.params, state.prior, T_tap0)
+        ((loss, (log_b, radii_b, vis_b, ndrop_b, npairs_b)),
+         (gp, gprior, gtap, gttap)) = grad_fn(state.params, state.prior,
+                                              T_tap0, t_tap0)
 
         # densification statistics per camera (see module docstring):
         # gtap carries d(mean loss)/dT per camera; undo the 1/B of the
@@ -126,10 +131,12 @@ def make_parallel_train_step(args, cfg: G.GaussianConfig,
         )(gtap, trans_b)
         aux = state.aux
         for i in range(B):
+            # gttap[i] = d(mean loss)/d t_tap_i = camera i's own t-gradient
+            # scaled by 1/B; undo the mean like the T-tap above
             aux = add_densification_stats(
                 aux,
                 jnp.where(stats_on, vs_b[i], 0.0),
-                jnp.where(stats_on, gp["t"], 0.0),
+                jnp.where(stats_on, gttap[i] * B, 0.0),
                 radii_b[i], vis_b[i] & (stats_on > 0))
 
         if apply_update:
@@ -143,6 +150,7 @@ def make_parallel_train_step(args, cfg: G.GaussianConfig,
 
         log = {k: jnp.mean(v) for k, v in log_b.items()}
         log["num_dropped"] = jnp.max(ndrop_b)
+        log["num_pairs"] = jnp.max(npairs_b)
         return TrainState(new_params, aux, new_opt, new_prior,
                           new_prior_opt), loss, log
 

@@ -77,10 +77,47 @@ check("sh-shard", (("color", ref.color, color2),
                    ("alpha", ref.alpha, alpha2),
                    ("final_T", ref.final_T, fT2)))
 print("PANO_SHARD_OK")
+
+# fully gaussian-sharded render (round-2 verdict item 4): every
+# per-gaussian stage runs on a P/8 shard; culled instance records are
+# routed to slice owners over an all_to_all with a static edge cap
+from gslidar_tpu.parallel.pano_shard import render_pano_gaussian_sharded
+wsettings = RasterSettings(height=32, width=256, vfov=(-24.9, 2.0),
+                           hfov=(-180, 180), num_extra_features=4,
+                           pair_cap=1 << 14, tile_chunk=64,
+                           tile_list_cap=512, tile_h=8, tile_w=32,
+                           backend="xla", wrap_x=True)
+wref = rasterize(means, scales, rots, opac, shs, feats, mask, vm,
+                 jnp.zeros(3), bg, 3, 1.0, settings=wsettings)
+out3 = render_pano_gaussian_sharded(means, scales, rots, opac, shs, feats,
+                                    mask, vm, jnp.zeros(3), bg, 3, 1.0,
+                                    wsettings, mesh)
+color3, feat3, depth3, alpha3, _c3, fT3, ndrop3 = out3
+assert int(np.asarray(ndrop3)) == 0, int(np.asarray(ndrop3))
+check("gaussian-shard", (("color", wref.color, color3),
+                         ("feature", wref.feature, feat3),
+                         ("depth", wref.depth, depth3),
+                         ("alpha", wref.alpha, alpha3),
+                         ("final_T", wref.final_T, fT3)))
+
+# per-device preprocess work is P/n: the traced shard sees 64 gaussians
+import jax.tree_util as jtu
+from jax.sharding import PartitionSpec as PS, NamedSharding
+sharded_means = jax.device_put(means, NamedSharding(mesh, PS("data")))
+assert sharded_means.addressable_shards[0].data.shape[0] == P // 8
+
+# the exchange drop counter must fire (not stay silently zero) when the
+# edge cap is undersized
+out4 = render_pano_gaussian_sharded(means, scales, rots, opac, shs, feats,
+                                    mask, vm, jnp.zeros(3), bg, 3, 1.0,
+                                    wsettings, mesh, edge_cap=8)
+assert int(np.asarray(out4[6])) > 0
+print("PANO_GSHARD_OK")
 """
 
 
 def test_pano_sharded_matches_single_device():
-    r = run_on_cpu_mesh(_CODE)
+    r = run_on_cpu_mesh(_CODE, timeout=900)
     assert r.returncode == 0, r.stderr[-3000:]
     assert "PANO_SHARD_OK" in r.stdout
+    assert "PANO_GSHARD_OK" in r.stdout

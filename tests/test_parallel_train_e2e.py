@@ -13,7 +13,108 @@ import sys
 
 import pytest
 
+from tests.conftest import run_on_cpu_mesh
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_DENSIFY_PARITY_CODE = r"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gslidar_tpu.config import Config
+from gslidar_tpu.engine.train import (TrainState, init_train_state,
+                                      make_train_step)
+from gslidar_tpu.models import gaussians as G
+from gslidar_tpu.models.raydrop_prior import init_raydrop_prior
+from gslidar_tpu.parallel.shard import (_toy_camera_batch, make_mesh,
+                                        make_parallel_train_step,
+                                        stack_camera_batch)
+from gslidar_tpu.raster.settings import RasterSettings
+
+B = 8
+H, W = 32, 64
+settings = RasterSettings(height=H, width=W, vfov=(-24.9, 2.0),
+                          hfov=(-90, 90), num_extra_features=4,
+                          pair_cap=1 << 14, tile_chunk=16,
+                          tile_list_cap=1024)
+cfg = G.GaussianConfig(random_init_point=0)
+# raydrop_prior_lr=0 freezes the prior so the B sequential renders see
+# identical inputs (the DP step computes every camera's gradient at the
+# SAME state, so its sequential twin must too)
+args = Config({
+    "dynamic": True, "scale_factor": 1.0, "sky_depth": False,
+    "median_depth": False, "vfov": (-24.9, 2.0), "hfov": (-90, 90),
+    "lambda_distortion": 0.1, "lambda_lidar": 10.0,
+    "lambda_lidar_median": 10.0, "lambda_t_reg": 0.0,
+    "lambda_v_reg": 0.01, "lambda_intensity_sh": 0.05,
+    "lambda_raydrop": 0.05, "lambda_chamfer": 0.1, "lambda_smooth": 1e-3,
+    "lambda_tv": 0.0, "lambda_gs_opa": 0.0,
+    "lambda_normal_consistency": 0.1, "lambda_opacity_entropy": 0.05,
+    "lambda_depth_var": 0.0, "lidar_decay": 0.0,
+    "raydrop_prior_lr": 0.0,
+    "iterations": 1000, "position_lr_init": 1.6e-4,
+    "position_lr_final": 1.6e-6, "position_lr_delay_mult": 0.01,
+    "t_lr_init": 8e-4, "feature_lr": 2.5e-3, "opacity_lr": 5e-3,
+    "scaling_lr": 5e-3, "scaling_t_lr": 2e-3, "rotation_lr": 1e-3,
+    "velocity_lr": 1e-3, "intensity_lr": 0.1,
+})
+
+rng = np.random.default_rng(0)
+P_init = 2048
+pts = rng.uniform(-1, 1, (P_init, 3)).astype(np.float32) * [5, 5, 20]
+pts[:, 2] += 25
+colors = rng.uniform(0, 1, (P_init, 3)).astype(np.float32)
+params, aux = G.create_from_pcd(pts, colors, None, cfg, capacity=4096)
+state0 = init_train_state(params, aux, init_raydrop_prior(H, W))
+bg = jnp.asarray([0, 0, 0, 1.0])
+
+cams = _toy_camera_batch(B, H, W)
+it = jnp.asarray(100.0)
+sh = jnp.asarray(3, jnp.int32)
+on = jnp.asarray(True)
+
+mesh = make_mesh(B)
+dp_step = make_parallel_train_step(args, cfg, settings, bg, mesh)
+with mesh:
+    dp_state, dp_loss, _ = dp_step(state0, cams, it, sh,
+                                   jnp.zeros(B, jnp.float32), on)
+dp_aux = jax.tree.map(np.asarray, dp_state.aux)
+
+# sequential twin: B single-camera steps from the SAME params (gradients
+# not applied; aux threads through) — reference accumulation semantics,
+# train.py:356-362 one camera per iteration
+seq_step = make_train_step(args, cfg, settings, bg)
+st = state0
+for i in range(B):
+    cam_i = jax.tree.map(lambda x: x[i], cams)
+    st, loss_i, _ = seq_step(st, cam_i, it, sh, jnp.asarray(0.0), on,
+                             apply_update=False)
+seq_aux = jax.tree.map(np.asarray, st.aux)
+
+np.testing.assert_array_equal(dp_aux.denom, seq_aux.denom)
+np.testing.assert_array_equal(dp_aux.max_radii2D, seq_aux.max_radii2D)
+np.testing.assert_allclose(dp_aux.xyz_gradient_accum,
+                           seq_aux.xyz_gradient_accum, rtol=2e-4, atol=1e-9)
+# t-statistic: the per-camera t_tap exposes each camera's own t-gradient
+# from the one batched backward, so DP matches sequential exactly (up to
+# fp summation order)
+np.testing.assert_allclose(dp_aux.t_gradient_accum,
+                           seq_aux.t_gradient_accum, rtol=2e-4, atol=1e-9)
+assert float(np.max(seq_aux.denom)) > 0
+print("DENSIFY-PARITY-OK", float(dp_loss))
+"""
+
+
+@pytest.mark.slow
+def test_dp_densify_stats_parity():
+    """One B=8 DP step accumulates the same densification statistics as 8
+    sequential single-camera reference steps from identical state
+    (round-2 verdict item 3; reference train.py:356-362,
+    gaussian_model.py:608-614)."""
+    r = run_on_cpu_mesh(_DENSIFY_PARITY_CODE, n_devices=8, timeout=900)
+    assert r.returncode == 0, r.stderr[-3000:] + r.stdout[-1500:]
+    assert "DENSIFY-PARITY-OK" in r.stdout
 
 
 @pytest.mark.slow
