@@ -22,6 +22,23 @@ measured via non-blocking dispatch were unreliable):
     post-sort row gather instead;
   * cumsums / compare-sums are ~free (0.07-0.2 ms / 1M).
 
+Round-3 alternatives measured AND REFUTED at the bench shape (P=1M,
+K=2.26M; scripts/microbench_segbcast.py, scripts/microbench_dma_gather.py)
+— do not retry without new evidence:
+
+  * replacing the word gather with segment-broadcast scatter+cumsum of
+    the words: a stacked [P, 2] row scatter costs 97 ms (!), two 1-col
+    scatter-ADDs 17.3 ms, and the arbitrary-value gap trick needs a
+    [P]-row gather of its own — every variant >= the 16.4 ms incumbent
+    (scatter-SET 6.0 + cumsum 0.3 + [K,3] word gather 10.1);
+  * moving the post-sort payload reorder into the Pallas kernel as
+    per-row DMA (``payload[gid]`` from HBM, 128 descriptors in flight,
+    one-chunk lookahead): 62 ns/row vs the XLA gather's 8.6 ns/row at
+    D<=32 — descriptor issue rate is the bottleneck, and Mosaic also
+    requires 128-lane-aligned row slices (so the table must be padded
+    [P, 128], 5x the traffic). The XLA gather IS the engine floor:
+    ~7.6 ms + ~0.45 ms/f32-column per M rows.
+
 Hence the design: the slot->gaussian map g(k) — a non-decreasing step
 function — is built with ONE masked scatter-SET of gid-gaps at non-empty
 segment starts plus a cumsum (P updates); the per-slot binning words
