@@ -164,16 +164,26 @@ def composite_rows(sorted_data: jnp.ndarray, tile_starts_full: jnp.ndarray,
         ct, st = ctheta[:, None, :], stheta[:, None, :]
 
         # ray-splat intersection via two homogeneous planes
-        # (forward.cu:404-424, 2DGS Eq. 8 adapted to spherical rays)
-        kx = cp * bc(Tux) - sp * bc(Twx)
-        ky = cp * bc(Tuy) - sp * bc(Twy)
-        kz = cp * bc(Tuz) - sp * bc(Twz)
-        lx = sp * ct * bc(Tux) + st * bc(Tvx) + cp * ct * bc(Twx)
-        ly = sp * ct * bc(Tuy) + st * bc(Tvy) + cp * ct * bc(Twy)
-        lz = sp * ct * bc(Tuz) + st * bc(Tvz) + cp * ct * bc(Twz)
-        p1 = ky * lz - kz * ly
-        p2 = kz * lx - kx * lz
-        p3 = kx * ly - ky * lx
+        # (forward.cu:404-424, 2DGS Eq. 8 adapted to spherical rays).
+        # p = cross(k, l) with k = cp*Tu - sp*Tw and
+        # l = sp*ct*Tu + st*Tv + cp*ct*Tw expands exactly (cp^2 + sp^2
+        # collapses) to p = st*cp*(Tu x Tv) + ct*(Tu x Tw)
+        # - st*sp*(Tw x Tv): the crosses are per-instance, off the pixel
+        # axis (same hoist as pallas_fwd.py).
+        Ax = Tuy * Tvz - Tuz * Tvy
+        Ay = Tuz * Tvx - Tux * Tvz
+        Az = Tux * Tvy - Tuy * Tvx
+        Bx = Tuy * Twz - Tuz * Twy
+        By = Tuz * Twx - Tux * Twz
+        Bz = Tux * Twy - Tuy * Twx
+        Gx = Twy * Tvz - Twz * Tvy
+        Gy = Twz * Tvx - Twx * Tvz
+        Gz = Twx * Tvy - Twy * Tvx
+        ca = st * cp
+        cg = -(st * sp)
+        p1 = ca * bc(Ax) + ct * bc(Bx) + cg * bc(Gx)
+        p2 = ca * bc(Ay) + ct * bc(By) + cg * bc(Gy)
+        p3 = ca * bc(Az) + ct * bc(Bz) + cg * bc(Gz)
         p3_ok = p3 != 0.0
         p3_safe = jnp.where(p3_ok, p3, 1.0)
         s1 = p1 / p3_safe
