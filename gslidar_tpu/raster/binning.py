@@ -157,9 +157,17 @@ def bin_gaussians(rect_min, rect_max, depth, tiles_touched,
     words_i = jnp.stack([w0, rmin_tile, dq], axis=1)           # [P, 3]
     wide = settings.payload_in_sort and payload is not None
     if wide:
+        # pad the payload to an even column count so f32 pairs pack into
+        # complex64 sort operands (the sort never compares payload
+        # operands — only the key — so the pairing is free), halving the
+        # operand count and its ~10 s/operand compile price
+        D = payload.shape[1]
+        Dp = D + (D % 2)
+        pay = payload if D == Dp else jnp.pad(payload, ((0, 0), (0, 1)))
         words_f = jax.lax.bitcast_convert_type(words_i, jnp.float32)
-        rows = jnp.concatenate([words_f, payload], axis=1)[gid]  # [K, 3+D]
+        rows = jnp.concatenate([words_f, pay], axis=1)[gid]    # [K, 3+Dp]
         ws = jax.lax.bitcast_convert_type(rows[:, :3], jnp.int32)
+        cpay = jax.lax.complex(rows[:, 3::2], rows[:, 4::2])   # [K, Dp/2]
     else:
         ws = words_i[gid]                                      # [K, 3]
     w0_s, rmin_tile_s, dq_s = ws[:, 0], ws[:, 1], ws[:, 2]
@@ -188,13 +196,13 @@ def bin_gaussians(rect_min, rect_max, depth, tiles_touched,
 
     # ONE sort. Narrow (2-3 operands) by default — the XLA:TPU sort
     # compiles at ~10 s/operand (module docstring) — or wide when
-    # payload_in_sort amortizes that compile.
+    # payload_in_sort carries the c64-packed payload through the sort
+    # (deletes the post-sort row gather at the price of the compile).
     operands = [key, gid]
     if with_slots:
         operands.append(slots)
-    D = payload.shape[1] if wide else 0
     if wide:
-        operands.extend(rows[:, 3 + i] for i in range(D))
+        operands.extend(cpay[:, i] for i in range(Dp // 2))
     out = jax.lax.sort(tuple(operands), dimension=0, num_keys=1,
                        is_stable=True)
     key_s, gid_s = out[0], out[1]
@@ -205,7 +213,9 @@ def bin_gaussians(rect_min, rect_max, depth, tiles_touched,
     else:
         inv_perm = None
     if wide:
-        data_rows_s = jnp.stack(out[-D:], axis=1)
+        cs = jnp.stack(out[-(Dp // 2):], axis=1)               # [K, Dp/2]
+        data_rows_s = jnp.stack([jnp.real(cs), jnp.imag(cs)],
+                                axis=2).reshape(K, Dp)[:, :D]
     elif payload is not None:
         # payload lands in sorted instance order with ONE row gather from
         # the [P, D] table (pad slots carry a clamped-but-valid gid; the

@@ -71,16 +71,18 @@ class RasterSettings:
                                   # distance must wrap at the GLOBAL
                                   # width (parallel/pano_shard.py).
     payload_in_sort: bool = False # EXPERIMENTAL: carry the render
-                                  # payload through the binning sort (one
-                                  # ~30-operand lax.sort) instead of a
-                                  # post-sort row gather. Faster at run
-                                  # time, but the XLA:TPU sort compiles
-                                  # at ~10 s/operand at small K and
-                                  # blows past 30 MINUTES at 2M
-                                  # instances (measured; no persistent
-                                  # compile cache exists on this
-                                  # backend) — only usable for small
-                                  # scenes in long-lived processes.
+                                  # payload through the binning sort as
+                                  # complex64-packed operand pairs
+                                  # (payload operands are permuted, never
+                                  # compared, so 2 f32 ride per operand)
+                                  # instead of a post-sort row gather.
+                                  # Faster at run time, but the XLA:TPU
+                                  # sort compiles at ~10 s/operand (f32
+                                  # payload measured >30 min at 2M
+                                  # instances; c64 halves the count — no
+                                  # persistent compile cache exists on
+                                  # this backend) — only usable for
+                                  # long-lived serving processes.
 
     def __post_init__(self):
         object.__setattr__(self, "vfov", tuple(float(v) for v in self.vfov))

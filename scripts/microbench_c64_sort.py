@@ -65,11 +65,12 @@ def main():
     # sort unchanged?
     k0 = jnp.asarray([3, 1, 2, 0], jnp.uint32)
     p0 = jnp.asarray(np.arange(8, dtype=np.float32).reshape(4, 2))
-    c0 = jax.lax.bitcast_convert_type(p0, jnp.complex64).reshape(4)
+    c0 = jax.lax.complex(p0[:, 0], p0[:, 1])
     out = jax.lax.sort((k0, c0), dimension=0, num_keys=1, is_stable=True)
-    back = jax.lax.bitcast_convert_type(out[1].reshape(4, 1), jnp.float32)
+    back = np.stack([np.asarray(jnp.real(out[1])),
+                     np.asarray(jnp.imag(out[1]))], axis=1)
     expect = np.asarray(p0)[np.argsort(np.asarray(k0), kind="stable")]
-    np.testing.assert_array_equal(np.asarray(back).reshape(4, 2), expect)
+    np.testing.assert_array_equal(back, expect)
     print("c64 payload rides the sort: OK", flush=True)
 
     # 2) narrow incumbent: 2-op sort + post-sort row gather

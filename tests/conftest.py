@@ -37,3 +37,8 @@ def run_on_cpu_mesh(code: str, n_devices: int = 8, timeout: int = 420):
 @pytest.fixture
 def rng():
     return np.random.default_rng(2023)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running end-to-end test")

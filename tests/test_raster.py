@@ -270,3 +270,42 @@ def test_xla_tile_list_overflow_reported(rng):
                           tile_chunk=16, tile_list_cap=16)
     tiled, _dense = run_both(make_scene(rng, P=96), settings=tiny)
     assert float(tiled.num_dropped) > 0
+
+
+def test_payload_in_sort_matches_gather(rng):
+    """The experimental wide sort (c64-packed payload operands riding the
+    binning sort) must produce byte-identical instance rows to the
+    default post-sort row gather: the sort is stable and payload
+    operands are permuted, never compared."""
+    import dataclasses
+
+    from gslidar_tpu.raster.binning import bin_gaussians
+    from gslidar_tpu.raster.preprocess import preprocess
+    from gslidar_tpu.raster.pallas_fwd import pack_payload
+
+    means, scales, quats, opac, shs, feats = make_scene(rng, P=128)
+    vm, cp = identity_view()
+    prep = preprocess(jnp.asarray(means), jnp.asarray(scales),
+                      jnp.asarray(quats), jnp.asarray(opac),
+                      jnp.asarray(shs), jnp.ones(128, bool), vm, cp, 3,
+                      1.0, SET)
+    payload = pack_payload(prep, jnp.asarray(opac), jnp.asarray(feats))
+    assert payload.shape[1] % 2 == 0          # even: packs without pad
+    narrow = bin_gaussians(prep.rect_min, prep.rect_max, prep.depth,
+                           prep.tiles_touched, 1.0, SET, payload=payload)
+    wide_set = dataclasses.replace(SET, payload_in_sort=True)
+    wide = bin_gaussians(prep.rect_min, prep.rect_max, prep.depth,
+                         prep.tiles_touched, 1.0, wide_set, payload=payload)
+    np.testing.assert_array_equal(np.asarray(narrow.gid_sorted),
+                                  np.asarray(wide.gid_sorted))
+    np.testing.assert_array_equal(np.asarray(narrow.data_rows),
+                                  np.asarray(wide.data_rows))
+
+    # odd column count exercises the pad-and-strip path
+    pay_odd = payload[:, :-1]
+    n2 = bin_gaussians(prep.rect_min, prep.rect_max, prep.depth,
+                       prep.tiles_touched, 1.0, SET, payload=pay_odd)
+    w2 = bin_gaussians(prep.rect_min, prep.rect_max, prep.depth,
+                       prep.tiles_touched, 1.0, wide_set, payload=pay_odd)
+    np.testing.assert_array_equal(np.asarray(n2.data_rows),
+                                  np.asarray(w2.data_rows))
