@@ -124,15 +124,24 @@ def _bwd_kernel(chunk_tile_ref, step_starts_ref, tile_starts_ref, row0_ref,
         opa = row(_F_OPA)
 
         # ---- recompute the forward per-instance quantities --------------
-        kx = cp * Tux - sp * Twx
-        ky = cp * Tuy - sp * Twy
-        kz = cp * Tuz - sp * Twz
-        lx = sp * ct * Tux + st * Tvx + cp * ct * Twx
-        ly = sp * ct * Tuy + st * Tvy + cp * ct * Twy
-        lz = sp * ct * Tuz + st * Tvz + cp * ct * Twz
-        p1 = ky * lz - kz * ly
-        p2 = kz * lx - kx * lz
-        p3 = kx * ly - ky * lx
+        # linear intersection form, SAME op order as pallas_fwd.py (the
+        # T reconstruction below depends on reproducing the forward's
+        # alpha rounding bitwise): p = ca*(Tu x Tv) + ct*(Tu x Tw)
+        # + cg*(Tw x Tv), ca = st*cp, cg = -st*sp
+        Ax = Tuy * Tvz - Tuz * Tvy
+        Ay = Tuz * Tvx - Tux * Tvz
+        Az = Tux * Tvy - Tuy * Tvx
+        Bx = Tuy * Twz - Tuz * Twy
+        By = Tuz * Twx - Tux * Twz
+        Bz = Tux * Twy - Tuy * Twx
+        Gx = Twy * Tvz - Twz * Tvy
+        Gy = Twz * Tvx - Twx * Tvz
+        Gz = Twx * Tvy - Twy * Tvx
+        ca = st * cp
+        cg = -(st * sp)
+        p1 = ca * Ax + ct * Bx + cg * Gx
+        p2 = ca * Ay + ct * By + cg * Gy
+        p3 = ca * Az + ct * Bz + cg * Gz
         p3ok = p3 != 0.0
         p3s = jnp.where(p3ok, p3, 1.0)
         s1 = p1 / p3s
@@ -258,23 +267,30 @@ def _bwd_kernel(chunk_tile_ref, step_starts_ref, tile_starts_ref, row0_ref,
         dp1 = dL_ds1 / p3s
         dp2 = dL_ds2 / p3s
         dp3 = -(dL_ds1 * s1 + dL_ds2 * s2) / p3s
-        # dL_dk = cross(l, dL_dp); dL_dl = cross(dL_dp, k)
-        dkx = ly * dp3 - lz * dp2
-        dky = lz * dp1 - lx * dp3
-        dkz = lx * dp2 - ly * dp1
-        dlx = dp2 * kz - dp3 * ky
-        dly = dp3 * kx - dp1 * kz
-        dlz = dp1 * ky - dp2 * kx
+        # dL/dT through the linear form (for c = u x v: dL/du = v x g,
+        # dL/dv = g x u with g = dL/dc):
+        #   gTu = ca*(Tv x dp) + ct*(Tw x dp)
+        #   gTv = ca*(dp x Tu) - cg*(Tw x dp)
+        #   gTw = ct*(dp x Tu) + cg*(Tv x dp)
+        X1x = Tvy * dp3 - Tvz * dp2            # Tv x dp
+        X1y = Tvz * dp1 - Tvx * dp3
+        X1z = Tvx * dp2 - Tvy * dp1
+        X2x = Twy * dp3 - Twz * dp2            # Tw x dp
+        X2y = Twz * dp1 - Twx * dp3
+        X2z = Twx * dp2 - Twy * dp1
+        Y1x = dp2 * Tuz - dp3 * Tuy            # dp x Tu
+        Y1y = dp3 * Tux - dp1 * Tuz
+        Y1z = dp1 * Tuy - dp2 * Tux
 
-        gTux = cp * dkx + sp * ct * dlx + dd3 * s1 * st * sp
-        gTuy = cp * dky + sp * ct * dly + dd3 * s2 * st * sp
-        gTuz = cp * dkz + sp * ct * dlz + dd3 * st * sp
-        gTvx = st * dlx - dd3 * s1 * ct
-        gTvy = st * dly - dd3 * s2 * ct
-        gTvz = st * dlz - dd3 * ct
-        gTwx = -sp * dkx + cp * ct * dlx + dd3 * s1 * st * cp
-        gTwy = -sp * dky + cp * ct * dly + dd3 * s2 * st * cp
-        gTwz = -sp * dkz + cp * ct * dlz + dd3 * st * cp
+        gTux = ca * X1x + ct * X2x + dd3 * s1 * st * sp
+        gTuy = ca * X1y + ct * X2y + dd3 * s2 * st * sp
+        gTuz = ca * X1z + ct * X2z + dd3 * st * sp
+        gTvx = ca * Y1x - cg * X2x - dd3 * s1 * ct
+        gTvy = ca * Y1y - cg * X2y - dd3 * s2 * ct
+        gTvz = ca * Y1z - cg * X2z - dd3 * ct
+        gTwx = ct * Y1x + cg * X1x + dd3 * s1 * st * cp
+        gTwy = ct * Y1y + cg * X1y + dd3 * s2 * st * cp
+        gTwz = ct * Y1z + cg * X1z + dd3 * st * cp
 
         # 2d branch: low-pass position + center-range depth
         u2 = accept & jnp.logical_not(use3d)
