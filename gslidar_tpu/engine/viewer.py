@@ -13,10 +13,11 @@ dependency-free equivalent on http.server:
 * /stats reports rays/sec computed from the checkin/checkout bracket
   (viser_utils.py:49-55).
 
-Deviation: nerfview drops the render resolution while the camera moves;
-the render callback here is a fixed-resolution jitted panorama, so
-motion renders at full resolution (the pano is small enough that this
-is ~tens of ms).
+* while the camera moves (mouse drag or a movement key held) the page
+  asks /render?preview=1 and the callback renders its half-resolution
+  jitted twin, switching back to full resolution once the camera
+  settles — nerfview's moving-resolution degradation
+  (thirdparty/nerfview/nerfview/_renderer.py).
 """
 
 from __future__ import annotations
@@ -85,6 +86,7 @@ async function tick() {
         k + '=' + document.getElementById(k).value).join('&');
   }
   q += '&frame=' + document.getElementById('frame').value;
+  if (drag || Object.values(keys).some(v => v)) q += '&preview=1';
   const t0 = performance.now();
   try {
     const r = await fetch('/render?' + q);
@@ -107,8 +109,14 @@ class VisManager:
     """Train-loop-integrated viewer (reference utils/viser_utils.py)."""
 
     def __init__(self, cfg: dict, render_fn=None):
+        import inspect
         self.cfg = cfg
         self.render_fn = render_fn
+        try:
+            self._fn_takes_preview = render_fn is not None and len(
+                inspect.signature(render_fn).parameters) >= 3
+        except (TypeError, ValueError):
+            self._fn_takes_preview = False
         self.lock = threading.Lock()
         self.iter_t0 = None
         self.rays_per_sec = 0.0
@@ -186,7 +194,8 @@ class VisManager:
                     else:
                         c2w = _orbit_c2w(get("az", 0), get("el", 15),
                                          get("dist", 25))
-                    png = mgr._render_png(c2w, int(get("frame", 0)))
+                    png = mgr._render_png(c2w, int(get("frame", 0)),
+                                          q.get("preview", ["0"])[0] == "1")
                     self.send_response(200)
                     self.send_header("Content-Type", "image/png")
                     self.end_headers()
@@ -200,10 +209,17 @@ class VisManager:
         t.start()
         print(f"[viewer] http://localhost:{port}")
 
-    def _render_png(self, c2w, frame) -> bytes:
+    def _render_png(self, c2w, frame, preview=False) -> bytes:
         from PIL import Image
         with self.lock:                       # share the chip with training
-            img = self.render_fn(c2w, frame)  # -> [3, H, W] float in [0,1]
+            # [3, H, W] float in [0,1]; preview asks the callback for its
+            # reduced-resolution render (nerfview's while-moving
+            # degradation) — two-parameter callbacks render full
+            # resolution always
+            if self._fn_takes_preview:
+                img = self.render_fn(c2w, frame, preview)
+            else:
+                img = self.render_fn(c2w, frame)
         arr = (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8)
         buf = io.BytesIO()
         Image.fromarray(arr.transpose(1, 2, 0)).save(buf, format="PNG")

@@ -88,3 +88,32 @@ def test_fly_c2w_orthonormal():
     R = c2w[:3, :3]
     np.testing.assert_allclose(R.T @ R, np.eye(3), atol=1e-9)
     assert np.linalg.det(R) > 0.99
+
+
+def test_moving_resolution_preview():
+    """/render?preview=1 reaches a 3-parameter callback as preview=True
+    (nerfview's while-moving degradation); 2-parameter callbacks keep
+    working full-res."""
+    calls = []
+
+    def render_fn(c2w, frame, preview):
+        calls.append(preview)
+        h = 4 if preview else 8
+        return np.full((3, h, 2 * h), 0.5, np.float32)
+
+    m = VisManager({"port": 18473, "enabled": True, "max_frame": 2,
+                    "pixels_per_step": 128}, render_fn)
+    assert m.server is not None
+    try:
+        png, _ = _get(m.port, "/render?mode=orbit&az=0&el=0&dist=10"
+                              "&frame=0&preview=1")
+        assert png[:4] == b"\x89PNG" and calls[-1] is True
+        png, _ = _get(m.port, "/render?mode=orbit&az=0&el=0&dist=10"
+                              "&frame=0")
+        assert calls[-1] is False
+    finally:
+        m.server.shutdown()
+
+    # the page JS requests preview while dragging or holding a move key
+    from gslidar_tpu.engine.viewer import _PAGE
+    assert "preview=1" in _PAGE

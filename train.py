@@ -166,11 +166,19 @@ def training(args):
         ev = make_eval_render(args, cfg_now, settings, bg)
         ev360 = (make_eval_render360(args, cfg_now, settings, bg)
                  if bool(args.get("eval_full360", True)) else None)
-        return step, densify, ev, ev360, cfg_now
+        # half-resolution twin for the live viewer while the camera moves
+        # (nerfview's moving-resolution degradation, _renderer.py); jit
+        # compiles lazily, so this costs nothing unless the viewer asks
+        prev = make_eval_render(
+            args, cfg_now,
+            make_settings(args, max(h // 2, 8), max(w // 2, 8),
+                          pair_cap=pair_cap_now,
+                          tile_list_cap=tile_list_cap_now), bg)
+        return step, densify, ev, ev360, prev, cfg_now
 
     no_time_split = bool(args.no_time_split)
     (train_step, densify_fn, eval_render, eval_render360,
-     cfg_now) = build_fns(no_time_split)
+     eval_render_prev, cfg_now) = build_fns(no_time_split)
 
     if args.test_only or first_iter == args.iterations:
         sh_deg = min(first_iter // args.sh_increase_interval, args.sh_degree)
@@ -190,7 +198,7 @@ def training(args):
     from gslidar_tpu.engine.viewer import VisManager
     from gslidar_tpu.utils.general import visualize_depth as _vd
 
-    def _viewer_render(c2w, frame):
+    def _viewer_render(c2w, frame, preview=False):
         from gslidar_tpu.engine.train import CameraBatch
         w2c = np.linalg.inv(c2w).astype(np.float32)
         ts = -0.5 + frame / max(args.frames - 1, 1)
@@ -199,8 +207,11 @@ def training(args):
             timestamp=jnp.asarray(ts, jnp.float32),
             towards_idx=jnp.asarray(0, jnp.int32),
             pts_depth=jnp.zeros((1, 1, 1)), pts_intensity=jnp.zeros((1, 1, 1)))
-        pkg = eval_render(state.params, state.aux.alive, state.prior, cam_v,
-                          jnp.asarray(args.sh_degree, jnp.int32))
+        # while the camera moves the viewer asks for the half-resolution
+        # render (nerfview's moving degradation); full res once it settles
+        rfn = eval_render_prev if preview else eval_render
+        pkg = rfn(state.params, state.aux.alive, state.prior, cam_v,
+                  jnp.asarray(args.sh_degree, jnp.int32))
         return _vd(np.asarray(pkg.depth), scale_factor=args.scale_factor)
 
     vis_mgr = VisManager({"port": int(args.get("viewer_port", 8080)),
@@ -265,7 +276,7 @@ def training(args):
         if no_time_split and iteration > args.densify_until_iter * args.time_split_frac:
             no_time_split = False
             (train_step, densify_fn, eval_render, eval_render360,
-             cfg_now) = build_fns(no_time_split)
+             eval_render_prev, cfg_now) = build_fns(no_time_split)
 
         if is_densify:
             size_on = (iteration > args.opacity_reset_interval
@@ -334,7 +345,7 @@ def training(args):
                     rebuild = True
                 if rebuild:
                     (train_step, densify_fn, eval_render, eval_render360,
-                     cfg_now) = build_fns(no_time_split)
+                     eval_render_prev, cfg_now) = build_fns(no_time_split)
             print(f"[{iteration}/{args.iterations}] loss={ema['loss']:.5f} "
                   f"pts={n_alive} it/s={rate:.2f}{drop_note}", flush=True)
             # tensorboard (reference train.py:328-335)
@@ -374,7 +385,7 @@ def training(args):
             from gslidar_tpu.models.raydrop_prior import PriorAdam
             state = state._replace(prior_opt=PriorAdam.init(state.prior))
             (train_step, densify_fn, eval_render, eval_render360,
-             cfg_now) = build_fns(no_time_split)
+             eval_render_prev, cfg_now) = build_fns(no_time_split)
 
         if iteration in args.checkpoint_iterations:
             print(f"\n[ITER {iteration}] Saving Checkpoint", flush=True)
