@@ -84,6 +84,27 @@ def main():
                               payload_in_sort=bool(
                                   os.environ.get("GSLIDAR_BENCH_WIDE")))
     scene = build_scene()
+    try:
+        run(settings, scene)
+    except Exception as e:                      # noqa: BLE001
+        # never zero out the benchmark on a pallas/Mosaic regression:
+        # re-measure on the XLA scan backend and say so loudly (the
+        # number is then the slow path's, not a silent substitute)
+        import dataclasses
+        import sys
+        import traceback
+        traceback.print_exc()
+        print(f"BENCH FALLBACK: pallas backend failed ({e!r}); "
+              "re-measuring on the XLA scan backend", file=sys.stderr)
+        run(dataclasses.replace(settings, backend="xla",
+                                tile_list_cap=1 << 16), scene)
+
+
+def run(settings, scene):
+    import jax
+    import jax.numpy as jnp
+    from gslidar_tpu.raster import rasterize
+
     sf = 0.1
     bg = jnp.asarray([0.0, 0.0, 0.0, 1.0])
     viewm = jnp.eye(4, dtype=jnp.float32)
