@@ -86,6 +86,10 @@ def main():
     scene = build_scene()
     try:
         run(settings, scene)
+    except AssertionError:
+        # a capacity/overflow assert is a bench-integrity failure, not a
+        # backend failure — the XLA path would drop the same instances
+        raise
     except Exception as e:                      # noqa: BLE001
         # never zero out the benchmark on a pallas/Mosaic regression:
         # re-measure on the XLA scan backend and say so loudly (the

@@ -146,8 +146,14 @@ def auto_pair_cap(cap, pairs_now, pairs_hi, *, floor=1 << 15,
     def pow2(n):
         return 1 << max(int(n) - 1, 1).bit_length()
 
+    # binning packs slot offsets in 24 bits (binning.py asserts
+    # pair_cap <= 2^24): growth saturates there rather than crashing the
+    # rebuild; the overflow note keeps printing so the clipping is loud
+    ceiling = 1 << 24
     if pairs_now > cap:
-        return max(pow2(pairs_now * growth_headroom), floor)
+        if cap >= ceiling:
+            return None
+        return min(max(pow2(pairs_now * growth_headroom), floor), ceiling)
     if pairs_hi is not None and cap > max(pairs_hi, 1) * shrink_at \
             and cap > floor:
         new = max(pow2(pairs_hi * shrink_to), floor)

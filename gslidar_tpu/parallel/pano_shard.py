@@ -192,7 +192,8 @@ def render_pano_gaussian_sharded(means3D, scales, rotations, opacity, shs,
 
     Returns (color, feature, depth, alpha, contrib, final_T, num_dropped)
     with image width sharded over the mesh and ``num_dropped`` counting
-    exchange-cap plus pair-cap plus tile-list losses (0 in a sound run).
+    exchange-cap plus pair-cap plus tile-list losses, all in (gaussian,
+    tile) INSTANCES (0 in a sound run).
     """
     from gslidar_tpu.raster.binning import bin_gaussians
     from gslidar_tpu.raster.composite import (composite_rows,
@@ -201,7 +202,7 @@ def render_pano_gaussian_sharded(means3D, scales, rotations, opacity, shs,
     from gslidar_tpu.raster.preprocess import preprocess
 
     n = mesh.shape[axis]
-    W, H = settings.width, settings.height
+    W = settings.width
     tw = settings.tile_w
     if not settings.wrap_x:
         raise ValueError("gaussian-sharded render needs a circular pano "
@@ -218,8 +219,13 @@ def render_pano_gaussian_sharded(means3D, scales, rotations, opacity, shs,
     if edge_cap is None:
         edge_cap = max(settings.pair_cap // (2 * n), 1024)
     # the local slice grid is NOT circular; the dxp low-pass distance
-    # still wraps at the global width. Pin the global sort depth bucket
-    # edges so per-slice compositing order == the unsliced render's.
+    # still wraps at the global width. Pinning the global sort depth
+    # bucket edges keeps per-slice compositing order equal to the
+    # unsliced render's across depth buckets; WITHIN a bucket the order
+    # is gaussian-stable except for wrap-split records (a seam-crossing
+    # splat's second arc enqueues after run-1 records), so same-bucket
+    # blend swaps there are bounded exactly like the documented
+    # depth_bits quantization ambiguity.
     sub = dataclasses.replace(settings, width=Wl, wrap_x=False,
                               wrap_period=float(W),
                               sort_depth_bits=settings.depth_bits,
@@ -249,28 +255,37 @@ def render_pano_gaussian_sharded(means3D, scales, rotations, opacity, shs,
                 (jnp.zeros_like(lo), jnp.maximum(hi - gx, 0)))
 
         # ---- 2. route records to slice owners ---------------------------
-        fcols = [payload,
-                 y0[:, None].astype(jnp.float32),
-                 y1[:, None].astype(jnp.float32)]
+        # the record matrix only varies per RUN (the stored valid flag is
+        # constantly 1.0 for rows the scatter actually keeps), so build it
+        # once per run, not once per (run, slice)
+        ones = jnp.ones((payload.shape[0], 1), jnp.float32)
+        recs = [jnp.concatenate(
+                    [payload, y0[:, None].astype(jnp.float32),
+                     y1[:, None].astype(jnp.float32),
+                     rlo[:, None].astype(jnp.float32),
+                     rhi[:, None].astype(jnp.float32), ones], axis=1)
+                for rlo, rhi in runs]             # per-run [Pl, R + 5]
+        rows_y = (y1 - y0).astype(jnp.int32)
         send = []
         n_dropped = jnp.zeros((), jnp.int32)
         for s in range(n):
             w0c, w1c = s * gxl, (s + 1) * gxl
-            bufs = []
             base = jnp.zeros((), jnp.int32)
             buf = jnp.zeros((edge_cap, R + 5), jnp.float32)
-            for rlo, rhi in runs:
+            for (rlo, rhi), rec in zip(runs, recs):
                 m = live & (rhi > rlo) & (rlo < w1c) & (rhi > w0c)
                 rank = jnp.cumsum(m.astype(jnp.int32)) - 1 + base
                 pos = jnp.where(m, rank, edge_cap)
-                rec = jnp.concatenate(
-                    fcols + [rlo[:, None].astype(jnp.float32),
-                             rhi[:, None].astype(jnp.float32),
-                             m[:, None].astype(jnp.float32)], axis=1)
                 buf = buf.at[pos].set(jnp.where(m[:, None], rec, 0.0),
                                       mode="drop")
+                # overflowed records count the INSTANCES they would have
+                # composited on this slice, so num_dropped shares units
+                # with the pair-cap / tile-list drop counters
+                lost = m & (pos >= edge_cap)
+                inst = ((jnp.minimum(rhi, w1c) - jnp.maximum(rlo, w0c))
+                        * rows_y)
+                n_dropped = n_dropped + jnp.sum(jnp.where(lost, inst, 0))
                 base = base + jnp.sum(m.astype(jnp.int32))
-            n_dropped = n_dropped + jnp.maximum(base - edge_cap, 0)
             send.append(buf)
         send = jnp.concatenate(send, axis=0)     # [n * edge_cap, R + 5]
         recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0,

@@ -192,3 +192,8 @@ def test_auto_pair_cap_both_directions():
 
     # a shrink target equal to the cap is not a change
     assert auto_pair_cap(1 << 20, 100_000, (1 << 20) // 4 + 1) is None
+
+    # growth saturates at the binning packing ceiling (2^24) instead of
+    # crashing the rebuild on OPV2V-scale instance counts
+    assert auto_pair_cap(1 << 23, 20_000_000, None) == 1 << 24
+    assert auto_pair_cap(1 << 24, 20_000_000, None) is None

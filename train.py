@@ -148,6 +148,7 @@ def training(args):
     # per-tile list cap is auto-grown the same way (the pallas backend is
     # cap-free; the CUDA kernel has no per-tile cap either).
     pair_cap_auto = bool(args.get("raster_pair_cap_auto", True))
+    tile_list_cap_auto = bool(args.get("raster_tile_list_cap_auto", True))
     pair_cap_now = int(args.get("raster_pair_cap", 1 << 19))
     tile_list_cap_now = int(args.get("raster_tile_list_cap", 4096))
     pairs_window = deque(maxlen=30)
@@ -336,16 +337,18 @@ def training(args):
                     pair_cap_now = new_cap
                     pairs_window.clear()
                     rebuild = True
-                if list_drops > 0:
-                    new_list_cap = tile_list_cap_now * 2
-                    print(f"[{iteration}] tile_list_cap {tile_list_cap_now} "
-                          f"-> {new_list_cap} ({list_drops} dropped)",
-                          flush=True)
-                    tile_list_cap_now = new_list_cap
-                    rebuild = True
-                if rebuild:
-                    (train_step, densify_fn, eval_render, eval_render360,
-                     eval_render_prev, cfg_now) = build_fns(no_time_split)
+            # independent of the pair-cap flag: pinning raster_pair_cap
+            # must not silently disable the XLA per-tile list fix
+            if tile_list_cap_auto and list_drops > 0:
+                new_list_cap = tile_list_cap_now * 2
+                print(f"[{iteration}] tile_list_cap {tile_list_cap_now} "
+                      f"-> {new_list_cap} ({list_drops} dropped)",
+                      flush=True)
+                tile_list_cap_now = new_list_cap
+                rebuild = True
+            if rebuild:
+                (train_step, densify_fn, eval_render, eval_render360,
+                 eval_render_prev, cfg_now) = build_fns(no_time_split)
             print(f"[{iteration}/{args.iterations}] loss={ema['loss']:.5f} "
                   f"pts={n_alive} it/s={rate:.2f}{drop_note}", flush=True)
             # tensorboard (reference train.py:328-335)
