@@ -104,6 +104,33 @@ def wrap_col_rect(cx_pix, rad_i, W, tw, gx):
     return col_a, col_a + wt
 
 
+def mark_visible(means3D, viewmat, scale_factor,
+                 settings: RasterSettings, angle_bounds=None):
+    """Frustum visibility test without a render — the reference's
+    ``GaussianRasterizer.markVisible``
+    (diff_gaussian_rasterization_2d.py:217-224, rasterizer_impl.cu:
+    145-157): the same panoramic cull window ``preprocess`` applies
+    (near-plane reject + 1.3x-margin angular window). Returns [P] bool.
+    """
+    VFOV_min, VFOV_max, HFOV_min, HFOV_max = (
+        angle_bounds if angle_bounds is not None else settings.angle_bounds)
+    p_cam = means3D @ viewmat[:3, :3].T + viewmat[:3, 3]
+    x, y, z = p_cam[:, 0], p_cam[:, 1], p_cam[:, 2]
+    degen = (x * x + z * z) < 1e-20
+    x_s = jnp.where(degen, 0.0, x)
+    z_s = jnp.where(degen, 1.0, z)
+    phi = jnp.arctan2(x_s, z_s)
+    theta = jnp.arctan2(jnp.sqrt(x_s * x_s + z_s * z_s), -y)
+    r = jnp.sqrt(jnp.sum(p_cam * p_cam, axis=-1) + 1e-24)
+    center_v = 0.5 * (VFOV_max + VFOV_min)
+    half_v = 0.5 * (VFOV_max - VFOV_min)
+    center_h = 0.5 * (HFOV_max + HFOV_min)
+    half_h = 0.5 * (HFOV_max - HFOV_min)
+    return ((r > NEAR_N * scale_factor)
+            & (jnp.abs((theta - center_v) / half_v) <= FRUSTUM_MARGIN)
+            & (jnp.abs((phi - center_h) / half_h) <= FRUSTUM_MARGIN))
+
+
 class PreprocessOut(NamedTuple):
     T: jnp.ndarray            # [P, 3, 3]
     xy: jnp.ndarray           # [P, 2] pixel coords of the center (x=width)

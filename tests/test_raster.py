@@ -309,3 +309,34 @@ def test_payload_in_sort_matches_gather(rng):
                        prep.tiles_touched, 1.0, wide_set, payload=pay_odd)
     np.testing.assert_array_equal(np.asarray(n2.data_rows),
                                   np.asarray(w2.data_rows))
+
+
+def test_mark_visible_matches_preprocess_cull(rng):
+    """mark_visible (reference GaussianRasterizer.markVisible) must agree
+    with the cull window preprocess applies: every gaussian that produces
+    instances is marked visible, and clearly-outside points are not."""
+    from gslidar_tpu.raster import mark_visible
+    from gslidar_tpu.raster.preprocess import preprocess
+
+    means, scales, quats, opac, shs, feats = make_scene(rng, P=128)
+    # append points far outside the frustum: behind (z<0 at HFOV 120deg
+    # window) and inside the near plane
+    outside = np.array([[0.0, 0.0, -30.0], [0.0, 0.1, 0.0]], np.float32)
+    means = np.concatenate([means, outside])
+    vm, cp = identity_view()
+    vis = np.asarray(mark_visible(jnp.asarray(means), vm, 1.0, SET))
+    assert not vis[-1] and not vis[-2]
+
+    pad = np.zeros((2,), np.float32)
+    prep = preprocess(jnp.asarray(means),
+                      jnp.asarray(np.concatenate([scales, np.ones((2, 3),
+                                                  np.float32)])),
+                      jnp.asarray(np.concatenate([quats, np.tile([1, 0, 0, 0],
+                                                  (2, 1)).astype(np.float32)])),
+                      jnp.asarray(np.concatenate([opac, pad + 0.5])),
+                      jnp.asarray(np.concatenate([shs, np.zeros((2, 16, 4),
+                                                  np.float32)])),
+                      jnp.ones(130, bool), vm, cp, 3, 1.0, SET)
+    touched = np.asarray(prep.tiles_touched) > 0
+    assert touched.sum() > 50                  # scene is mostly in view
+    assert np.all(vis[touched])                # instances => marked visible
