@@ -144,8 +144,10 @@ def _bwd_kernel(chunk_tile_ref, step_starts_ref, tile_starts_ref, row0_ref,
         p3 = ca * Az + ct * Bz + cg * Gz
         p3ok = p3 != 0.0
         p3s = jnp.where(p3ok, p3, 1.0)
-        s1 = p1 / p3s
-        s2 = p2 / p3s
+        # same reciprocal-multiply op order as pallas_fwd (bitwise T)
+        rp3 = 1.0 / p3s
+        s1 = p1 * rp3
+        s2 = p2 * rp3
         rho3d = s1 * s1 + s2 * s2
         dxp = cx - px
         # circular-pano wrap, same as the forward (params[6]/[7] = W, 1/W)
@@ -264,9 +266,9 @@ def _bwd_kernel(chunk_tile_ref, step_starts_ref, tile_starts_ref, row0_ref,
                   + dd3 * (Tux * st * sp - Tvx * ct + Twx * st * cp))
         dL_ds2 = (jnp.where(u3, dL_drho, 0.0) * 2.0 * s2
                   + dd3 * (Tuy * st * sp - Tvy * ct + Twy * st * cp))
-        dp1 = dL_ds1 / p3s
-        dp2 = dL_ds2 / p3s
-        dp3 = -(dL_ds1 * s1 + dL_ds2 * s2) / p3s
+        dp1 = dL_ds1 * rp3
+        dp2 = dL_ds2 * rp3
+        dp3 = -(dL_ds1 * s1 + dL_ds2 * s2) * rp3
         # dL/dT through the linear form (for c = u x v: dL/du = v x g,
         # dL/dv = g x u with g = dL/dc):
         #   gTu = ca*(Tv x dp) + ct*(Tw x dp)

@@ -211,8 +211,11 @@ def _kernel(chunk_tile_ref, step_starts_ref, tile_starts_ref, row0_ref,
         p3 = ca * Az + ct * Bz + cg * Gz
         p3ok = p3 != 0.0
         p3s = jnp.where(p3ok, p3, 1.0)
-        s1 = p1 / p3s
-        s2 = p2 / p3s
+        # one reciprocal feeds both coordinates (the backward multiplies
+        # by the SAME rp3 so its T reconstruction stays bitwise-equal)
+        rp3 = 1.0 / p3s
+        s1 = p1 * rp3
+        s2 = p2 * rp3
         rho3d = s1 * s1 + s2 * s2
         dxp = cx - px
         # params[6]/[7] = (W, 1/W) when the pano is circular, else (0, 0):
