@@ -64,3 +64,34 @@ def test_train_cli_end_to_end(tmp_path):
     assert ref_metrics.exists(), _tail()
     rm = json.loads(ref_metrics.read_text())
     assert "Ray drop" in rm
+
+
+@pytest.mark.slow
+def test_train_cli_auto_grows_undersized_caps(tmp_path):
+    """A run configured with deliberately undersized instance caps must
+    detect the overflow on the first logged step, rebuild at grown caps,
+    and finish with the live pair count under the new cap (round-2
+    verdict item 2; the CUDA rasterizer sizes these buffers exactly per
+    frame, rasterize_points.cu:25-33)."""
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.expanduser("~/.cache/jax_comp"))
+    out = tmp_path / "run"
+    cmd = [sys.executable, "train.py", "--config",
+           "configs/synthetic_smoke.yaml", "--skip_refine",
+           f"model_path={out}", "iterations=12", "hw=[32,128]",
+           "num_pts=6000", "frames=4", "densify_from_iter=100",
+           "test_iterations=[12]", "checkpoint_iterations=[12]",
+           "vis_step=100",
+           "raster_pair_cap=4096", "raster_tile_list_cap=32"]
+    r = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True,
+                       text=True, timeout=1200)
+    log = (out / "log.txt").read_text() if (out / "log.txt").exists() else ""
+    assert r.returncode == 0, r.stderr[-1500:] + log[-2000:]
+    assert "pair_cap 4096 ->" in log, log[-3000:]
+    assert "tile_list_cap 32 ->" in log, log[-3000:]
+    # the LAST logged training step must be overflow-free: one growth
+    # step sizes both caps past the live demand
+    last = [ln for ln in log.splitlines()
+            if ln.startswith("[") and "/12] loss=" in ln]
+    assert last and "OVERFLOW" not in last[-1], log[-3000:]

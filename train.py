@@ -340,7 +340,11 @@ def training(args):
             # independent of the pair-cap flag: pinning raster_pair_cap
             # must not silently disable the XLA per-tile list fix
             if tile_list_cap_auto and list_drops > 0:
-                new_list_cap = tile_list_cap_now * 2
+                # the worst tile holds at most cap + total_drops instances,
+                # so one growth step always clears the overflow (doubling
+                # from a small base can take many logged steps to converge)
+                need = tile_list_cap_now + list_drops
+                new_list_cap = 1 << (need - 1).bit_length()
                 print(f"[{iteration}] tile_list_cap {tile_list_cap_now} "
                       f"-> {new_list_cap} ({list_drops} dropped)",
                       flush=True)
