@@ -225,4 +225,35 @@ def dryrun_multichip(n_devices: int) -> None:
                                     - state.params["xyz"])))
     assert changed > 0, "parameters did not update"
     assert float(jnp.max(new_state.aux.denom)) > 0, "no densify stats"
-    print(f"dryrun_multichip({n_devices}): loss={loss:.5f} ok")
+
+    # also exercise the other multichip surface: the fully
+    # gaussian-sharded single-frame panorama render with its all_to_all
+    # instance exchange (parallel/pano_shard.py)
+    import dataclasses
+
+    from gslidar_tpu.parallel.pano_shard import render_pano_gaussian_sharded
+
+    Pc = new_state.aux.alive.shape[0]
+    if Pc % n_devices != 0:
+        # the exchange needs P % n == 0; the primary contract (the DP
+        # training step above) already ran, so just say so and finish
+        print(f"dryrun_multichip({n_devices}): loss={loss:.5f} ok "
+              f"(gshard render skipped: capacity {Pc} % {n_devices} != 0)")
+        return
+    wsettings = dataclasses.replace(
+        settings, width=32 * n_devices, hfov=(-180.0, 180.0), wrap_x=True,
+        tile_h=8, tile_w=32, backend="xla", pair_cap=1 << 16,
+        tile_list_cap=2048)
+    p = new_state.params
+    color, _f, _d, alpha, _c, _t, ndrop = render_pano_gaussian_sharded(
+        G.get_xyz_shm(p, jnp.asarray(0.0), cfg), G.get_scaling(p),
+        p["rotation"], G.get_opacity(p)[:, 0]
+        * new_state.aux.alive.astype(jnp.float32),
+        G.get_features(p), jnp.zeros((Pc, 4), jnp.float32),
+        new_state.aux.alive, jnp.eye(4), jnp.zeros(3),
+        jnp.asarray([0, 0, 0, 1.0]), 3, 1.0, wsettings, mesh)
+    assert np.isfinite(float(jnp.sum(color))), "gshard render non-finite"
+    ndrop = int(ndrop)
+    assert ndrop == 0, f"gshard render dropped {ndrop} instances"
+    print(f"dryrun_multichip({n_devices}): loss={loss:.5f} "
+          f"gshard_dropped={ndrop} ok")
