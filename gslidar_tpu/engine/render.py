@@ -40,6 +40,7 @@ class RenderPkg(NamedTuple):
     contrib: jnp.ndarray
     num_dropped: jnp.ndarray
     num_pairs: jnp.ndarray
+    tile_need: jnp.ndarray      # [] XLA-backend exact tile_list_cap need
 
 
 def render(params: G.Params, alive: jnp.ndarray, viewmat, campos, timestamp,
@@ -125,4 +126,5 @@ def render(params: G.Params, alive: jnp.ndarray, viewmat, campos, timestamp,
         alpha=out.alpha, feature=rendered_other, normal=normal,
         intensity_sh=intensity_sh, raydrop=jnp.clip(raydrop, 0.0, 1.0),
         radii=out.radii, visibility=out.radii > 0, contrib=out.contrib,
-        num_dropped=out.num_dropped, num_pairs=out.num_pairs)
+        num_dropped=out.num_dropped, num_pairs=out.num_pairs,
+        tile_need=out.tile_need)

@@ -110,6 +110,7 @@ def make_train_step(args, cfg: G.GaussianConfig, settings: RasterSettings,
         log = dict(log)
         log["num_dropped"] = pkg.num_dropped
         log["num_pairs"] = pkg.num_pairs
+        log["tile_need"] = pkg.tile_need
         return TrainState(new_params, aux, new_opt, new_prior,
                           new_prior_opt), loss, log
 

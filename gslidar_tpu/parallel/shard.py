@@ -102,7 +102,7 @@ def make_parallel_train_step(args, cfg: G.GaussianConfig,
                                        iteration, args, opa,
                                        state.aux.alive.astype(jnp.float32))
             return loss, (log, pkg.radii, pkg.visibility, pkg.num_dropped,
-                          pkg.num_pairs)
+                          pkg.num_pairs, pkg.tile_need)
 
         def batched_loss(params, prior, T_tap, t_tap):
             losses, aux_out = jax.vmap(
@@ -114,7 +114,7 @@ def make_parallel_train_step(args, cfg: G.GaussianConfig,
 
         grad_fn = jax.value_and_grad(batched_loss, argnums=(0, 1, 2, 3),
                                      has_aux=True)
-        ((loss, (log_b, radii_b, vis_b, ndrop_b, npairs_b)),
+        ((loss, (log_b, radii_b, vis_b, ndrop_b, npairs_b, tneed_b)),
          (gp, gprior, gtap, gttap)) = grad_fn(state.params, state.prior,
                                               T_tap0, t_tap0)
 
@@ -151,6 +151,7 @@ def make_parallel_train_step(args, cfg: G.GaussianConfig,
         log = {k: jnp.mean(v) for k, v in log_b.items()}
         log["num_dropped"] = jnp.max(ndrop_b)
         log["num_pairs"] = jnp.max(npairs_b)
+        log["tile_need"] = jnp.max(tneed_b)
         return TrainState(new_params, aux, new_opt, new_prior,
                           new_prior_opt), loss, log
 

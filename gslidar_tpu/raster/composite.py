@@ -87,6 +87,14 @@ def tile_list_overflow(binning: Binning, settings: RasterSettings):
     return jnp.sum(jnp.maximum(counts - settings.tile_list_cap, 0))
 
 
+def tile_list_need(binning: Binning) -> jnp.ndarray:
+    """Largest per-tile instance count — the exact ``tile_list_cap`` that
+    would clip nothing on this (pair-cap-clipped) stream. The training
+    loop sizes the cap from this in one step; summed drops would
+    overshoot by up to the number of overflowing tiles."""
+    return jnp.max(binning.tile_starts[1:] - binning.tile_starts[:-1])
+
+
 def composite(binning: Binning, prep: PreprocessOut, features: jnp.ndarray,
               opacity: jnp.ndarray, bg: jnp.ndarray, scale_factor,
               settings: RasterSettings, angle_bounds=None) -> TileImages:
@@ -185,9 +193,22 @@ def composite_rows(sorted_data: jnp.ndarray, tile_starts_full: jnp.ndarray,
         p2 = ca * bc(Ay) + ct * bc(By) + cg * bc(Gy)
         p3 = ca * bc(Az) + ct * bc(Bz) + cg * bc(Gz)
         p3_ok = p3 != 0.0
-        p3_safe = jnp.where(p3_ok, p3, 1.0)
-        s1 = p1 / p3_safe
-        s2 = p2 / p3_safe
+        # degenerate-lane guard: for |p3| near the bottom of the f32
+        # range the division overflows to +-inf AND its autodiff VJP
+        # (-ct * p1 / p3^2) hits a 0/0 = NaN when p3^2 underflows —
+        # with ct = 0, so the NaN appears on lanes every select already
+        # masks and poisons the gradient segment-sums anyway. Route such
+        # lanes through a safe denominator and force s to 1e18 (rho3d =
+        # 2e36, past any acceptance — same reject decision as the raw
+        # inf/NaN, and the same 2d-branch fallback the pallas kernel
+        # takes). A splat this degenerate needs |p1|,|p2| <= 4.5e-15 to
+        # have been accepted before, which no physical scene produces.
+        # CUDA is immune by control flow (backward.cu:431-493 runs only
+        # on the rho3d <= rho2d branch).
+        degen3 = jnp.abs(p3) <= 1e-15
+        p3_safe = jnp.where(degen3, 1.0, p3)
+        s1 = jnp.where(degen3, 1e18, p1 / p3_safe)
+        s2 = jnp.where(degen3, 1e18, p2 / p3_safe)
         rho3d = s1 * s1 + s2 * s2
 
         dxp = bc(xy[..., 0]) - px[:, None, :]

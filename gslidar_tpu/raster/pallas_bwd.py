@@ -259,16 +259,30 @@ def _bwd_kernel(chunk_tile_ref, step_starts_ref, tile_starts_ref, row0_ref,
         dL_dopa_pix = jnp.where(clamp_ok, G * dL_da, 0.0)
         dL_drho = -0.5 * G * dL_dG
 
-        # 3d branch: rho3d + exact depth
+        # 3d branch: rho3d + exact depth. s1/s2/rp3 can be inf or NaN on
+        # lanes with |p3| in the subnormal range (the reciprocal
+        # overflows); those lanes are never accepted into the 3d branch
+        # (rho3d is inf/NaN there), but multiply-masking alone would
+        # still produce 0 * inf = NaN and poison the per-instance
+        # reductions below — so mask the VALUES, not just the
+        # cotangents. On u3 lanes s1/s2/rp3 are provably finite
+        # (accept requires rho3d <= rho2d finite, and a finite
+        # s1 = p1 * rp3 forces rp3 finite), so live gradients are
+        # bit-identical. The CUDA backward is immune by control flow:
+        # the `rho3d <= rho2d` branch never executes on such lanes.
         u3 = accept & use3d
         dd3 = jnp.where(u3, dL_dd, 0.0)
-        dL_ds1 = (jnp.where(u3, dL_drho, 0.0) * 2.0 * s1
+        dr3 = jnp.where(u3, dL_drho, 0.0)
+        s1g = jnp.where(u3, s1, 0.0)
+        s2g = jnp.where(u3, s2, 0.0)
+        rp3g = jnp.where(u3, rp3, 0.0)
+        dL_ds1 = (dr3 * 2.0 * s1g
                   + dd3 * (Tux * st * sp - Tvx * ct + Twx * st * cp))
-        dL_ds2 = (jnp.where(u3, dL_drho, 0.0) * 2.0 * s2
+        dL_ds2 = (dr3 * 2.0 * s2g
                   + dd3 * (Tuy * st * sp - Tvy * ct + Twy * st * cp))
-        dp1 = dL_ds1 * rp3
-        dp2 = dL_ds2 * rp3
-        dp3 = -(dL_ds1 * s1 + dL_ds2 * s2) * rp3
+        dp1 = dL_ds1 * rp3g
+        dp2 = dL_ds2 * rp3g
+        dp3 = -(dL_ds1 * s1g + dL_ds2 * s2g) * rp3g
         # dL/dT through the linear form (for c = u x v: dL/du = v x g,
         # dL/dv = g x u with g = dL/dc):
         #   gTu = ca*(Tv x dp) + ct*(Tw x dp)
@@ -284,14 +298,14 @@ def _bwd_kernel(chunk_tile_ref, step_starts_ref, tile_starts_ref, row0_ref,
         Y1y = dp3 * Tux - dp1 * Tuz
         Y1z = dp1 * Tuy - dp2 * Tux
 
-        gTux = ca * X1x + ct * X2x + dd3 * s1 * st * sp
-        gTuy = ca * X1y + ct * X2y + dd3 * s2 * st * sp
+        gTux = ca * X1x + ct * X2x + dd3 * s1g * st * sp
+        gTuy = ca * X1y + ct * X2y + dd3 * s2g * st * sp
         gTuz = ca * X1z + ct * X2z + dd3 * st * sp
-        gTvx = ca * Y1x - cg * X2x - dd3 * s1 * ct
-        gTvy = ca * Y1y - cg * X2y - dd3 * s2 * ct
+        gTvx = ca * Y1x - cg * X2x - dd3 * s1g * ct
+        gTvy = ca * Y1y - cg * X2y - dd3 * s2g * ct
         gTvz = ca * Y1z - cg * X2z - dd3 * ct
-        gTwx = ct * Y1x + cg * X1x + dd3 * s1 * st * cp
-        gTwy = ct * Y1y + cg * X1y + dd3 * s2 * st * cp
+        gTwx = ct * Y1x + cg * X1x + dd3 * s1g * st * cp
+        gTwy = ct * Y1y + cg * X1y + dd3 * s2g * st * cp
         gTwz = ct * Y1z + cg * X1z + dd3 * st * cp
 
         # 2d branch: low-pass position + center-range depth

@@ -104,6 +104,34 @@ def wrap_col_rect(cx_pix, rad_i, W, tw, gx):
     return col_a, col_a + wt
 
 
+def _pano_angles(p_cam):
+    """(phi, theta, r) of camera-space points, with the atan2(0,0)/sqrt(0)
+    NaN-gradient guard for points exactly at the camera origin (dead
+    capacity slots under an identity viewmat)."""
+    x, y, z = p_cam[:, 0], p_cam[:, 1], p_cam[:, 2]
+    degen = (x * x + z * z) < 1e-20
+    x_s = jnp.where(degen, 0.0, x)
+    z_s = jnp.where(degen, 1.0, z)
+    phi = jnp.arctan2(x_s, z_s)
+    theta = jnp.arctan2(jnp.sqrt(x_s * x_s + z_s * z_s), -y)
+    r = jnp.sqrt(jnp.sum(p_cam * p_cam, axis=-1) + 1e-24)
+    return phi, theta, r
+
+
+def _frustum_ok(phi, theta, r, bounds, scale_factor):
+    """Panoramic frustum cull with a fixed 1.3x margin
+    (auxiliary.h:182-204): near-plane reject + angular window. Shared by
+    ``preprocess`` and ``mark_visible`` so the two can never drift."""
+    vmin, vmax, hmin, hmax = bounds
+    center_v = 0.5 * (vmax + vmin)
+    half_v = 0.5 * (vmax - vmin)
+    center_h = 0.5 * (hmax + hmin)
+    half_h = 0.5 * (hmax - hmin)
+    return ((r > NEAR_N * scale_factor)
+            & (jnp.abs((theta - center_v) / half_v) <= FRUSTUM_MARGIN)
+            & (jnp.abs((phi - center_h) / half_h) <= FRUSTUM_MARGIN))
+
+
 def mark_visible(means3D, viewmat, scale_factor,
                  settings: RasterSettings, angle_bounds=None):
     """Frustum visibility test without a render — the reference's
@@ -112,23 +140,15 @@ def mark_visible(means3D, viewmat, scale_factor,
     145-157): the same panoramic cull window ``preprocess`` applies
     (near-plane reject + 1.3x-margin angular window). Returns [P] bool.
     """
-    VFOV_min, VFOV_max, HFOV_min, HFOV_max = (
-        angle_bounds if angle_bounds is not None else settings.angle_bounds)
-    p_cam = means3D @ viewmat[:3, :3].T + viewmat[:3, 3]
-    x, y, z = p_cam[:, 0], p_cam[:, 1], p_cam[:, 2]
-    degen = (x * x + z * z) < 1e-20
-    x_s = jnp.where(degen, 0.0, x)
-    z_s = jnp.where(degen, 1.0, z)
-    phi = jnp.arctan2(x_s, z_s)
-    theta = jnp.arctan2(jnp.sqrt(x_s * x_s + z_s * z_s), -y)
-    r = jnp.sqrt(jnp.sum(p_cam * p_cam, axis=-1) + 1e-24)
-    center_v = 0.5 * (VFOV_max + VFOV_min)
-    half_v = 0.5 * (VFOV_max - VFOV_min)
-    center_h = 0.5 * (HFOV_max + HFOV_min)
-    half_h = 0.5 * (HFOV_max - HFOV_min)
-    return ((r > NEAR_N * scale_factor)
-            & (jnp.abs((theta - center_v) / half_v) <= FRUSTUM_MARGIN)
-            & (jnp.abs((phi - center_h) / half_h) <= FRUSTUM_MARGIN))
+    bounds = (angle_bounds if angle_bounds is not None
+              else settings.angle_bounds)
+    # HIGHEST precision, like build_transmat's world->camera transform —
+    # the default TPU matmul shifts positions by ~1e-3 relative, which
+    # would make this cull disagree with preprocess at frustum margins
+    p_cam = jnp.matmul(means3D, viewmat[:3, :3].T,
+                       precision=jax.lax.Precision.HIGHEST) + viewmat[:3, 3]
+    phi, theta, r = _pano_angles(p_cam)
+    return _frustum_ok(phi, theta, r, bounds, scale_factor)
 
 
 class PreprocessOut(NamedTuple):
@@ -174,27 +194,14 @@ def preprocess(means3D, scales, quats, opacity, shs, mask, viewmat, campos,
 
     T, normal = build_transmat(means3D, scales, quats, viewmat, scale_modifier)
     p_cam = T[:, 2, :]
-    x, y, z = p_cam[:, 0], p_cam[:, 1], p_cam[:, 2]
-    # guard atan2(0,0)/sqrt(0) NaN gradients for points exactly at the
-    # camera origin (dead capacity slots under an identity viewmat)
-    degen = (x * x + z * z) < 1e-20
-    x_s = jnp.where(degen, 0.0, x)
-    z_s = jnp.where(degen, 1.0, z)
-    phi = jnp.arctan2(x_s, z_s)
-    theta = jnp.arctan2(jnp.sqrt(x_s * x_s + z_s * z_s), -y)
-    r = jnp.sqrt(jnp.sum(p_cam * p_cam, axis=-1) + 1e-24)
+    phi, theta, r = _pano_angles(p_cam)
 
-    # panoramic frustum cull with a fixed 1.3x margin (auxiliary.h:182-204).
-    # The cull window is the cull_bounds (= the full view for a slice
-    # renderer, so a slice keeps/drops exactly the splats an unsliced
-    # render would); the pixel mapping below uses angle_bounds.
-    center_v = 0.5 * (cVmax + cVmin)
-    half_v = 0.5 * (cVmax - cVmin)
-    center_h = 0.5 * (cHmax + cHmin)
-    half_h = 0.5 * (cHmax - cHmin)
-    in_frustum = ((r > NEAR_N * scale_factor)
-                  & (jnp.abs((theta - center_v) / half_v) <= FRUSTUM_MARGIN)
-                  & (jnp.abs((phi - center_h) / half_h) <= FRUSTUM_MARGIN))
+    # panoramic frustum cull (shared with mark_visible). The cull window
+    # is the cull_bounds (= the full view for a slice renderer, so a
+    # slice keeps/drops exactly the splats an unsliced render would);
+    # the pixel mapping below uses angle_bounds.
+    in_frustum = _frustum_ok(phi, theta, r, (cVmin, cVmax, cHmin, cHmax),
+                             scale_factor)
     valid = mask & in_frustum
 
     # AABB by sampling the cutoff ellipse (forward.cu:129-171,243)

@@ -34,6 +34,9 @@ class RasterOut(NamedTuple):
     radii: jnp.ndarray        # [P]
     num_pairs: jnp.ndarray    # [] instances before the cap
     num_dropped: jnp.ndarray  # [] instances dropped by the cap
+    tile_need: jnp.ndarray    # [] largest per-tile instance count (the
+                              # exact tile_list_cap that clips nothing);
+                              # 0 on the cap-free pallas backend
 
 
 def rasterize(means3D, scales, rotations, opacity, shs, features, mask,
@@ -66,6 +69,7 @@ def rasterize(means3D, scales, rotations, opacity, shs, features, mask,
         tiles, num_pairs, num_dropped = rasterize_pallas(
             prep, features, opacity, bg, scale_factor, settings,
             angle_bounds)
+        tile_need = jnp.zeros((), jnp.int32)
     else:
         binning = bin_gaussians(prep.rect_min, prep.rect_max, prep.depth,
                                 prep.tiles_touched, scale_factor, settings)
@@ -73,15 +77,17 @@ def rasterize(means3D, scales, rotations, opacity, shs, features, mask,
                           settings, angle_bounds)
         # surface the XLA path's per-tile list cap as dropped instances
         # (the pallas path is cap-free; the CUDA reference has no cap)
-        from gslidar_tpu.raster.composite import tile_list_overflow
+        from gslidar_tpu.raster.composite import (tile_list_need,
+                                                  tile_list_overflow)
         num_pairs = binning.num_pairs
         num_dropped = binning.num_dropped + tile_list_overflow(binning,
                                                                settings)
+        tile_need = tile_list_need(binning)
     return RasterOut(
         color=tiles.color, feature=tiles.feature, depth=tiles.depth,
         alpha=tiles.alpha, contrib=tiles.contrib, final_T=tiles.final_T,
         radii=prep.radius, num_pairs=num_pairs,
-        num_dropped=num_dropped)
+        num_dropped=num_dropped, tile_need=tile_need)
 
 
 def densify_grads_from_T_tap(dL_dT, T, settings: RasterSettings):

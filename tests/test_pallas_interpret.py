@@ -20,14 +20,14 @@ from gslidar_tpu.raster import RasterSettings, rasterize
 
 @pytest.fixture()
 def interpret_pallas(monkeypatch):
-    import gslidar_tpu.raster.pallas_bwd as pb
+    # pallas_fwd and pallas_bwd share the one jax.experimental.pallas
+    # module object, so a single setattr covers both kernels (patching
+    # twice would nest the partial) — note this is process-wide for any
+    # pallas_call user while the fixture is active
     import gslidar_tpu.raster.pallas_fwd as pf
     monkeypatch.setattr(
         pf.pl, "pallas_call",
         functools.partial(pf.pl.pallas_call, interpret=True))
-    monkeypatch.setattr(
-        pb.pl, "pallas_call",
-        functools.partial(pb.pl.pallas_call, interpret=True))
 
 
 BASE = RasterSettings(height=48, width=96, vfov=(-20.0, 20.0),
@@ -99,3 +99,97 @@ def test_pallas_bwd_interpret_matches_xla_autodiff(interpret_pallas, rng):
         denom = max(float(np.abs(a).max()), 1e-6)
         rel = float(np.abs(a - b).max()) / denom
         assert rel < 1e-4, (name, rel)
+
+
+def _edge_on_prep(P=128):
+    """A hand-crafted PreprocessOut whose first splat is seen nearly
+    edge-on: the intersection coordinate s2 = -Tvz/Tvy = -1e39 overflows
+    to -inf from NORMAL-range inputs (no subnormals, so FTZ backends hit
+    it too), while p3 ~ 1e-36 keeps p3_ok true and the division VJP's
+    p3^2 underflows to a 0/0 NaN. Such lanes are never accepted into the
+    3d branch (rho3d = inf), but multiply-masked gradient chains would
+    compute 0 * inf = NaN — the regression this fixture pins (CUDA is
+    immune by control flow, backward.cu:431-493). Splat 1 is an ordinary
+    front splat in the same tile so real cotangents flow."""
+    from gslidar_tpu.raster.preprocess import PreprocessOut
+
+    # the compositors work on T's COLUMNS (component triples, the
+    # pack_payload transpose): kernel (Tu, Tv, Tw) = columns of this
+    # matrix. Columns (1,0,0), (0,1e-36,1000), (0,0,5) give
+    # Az = 1e-36, Bz = Gz = 0 -> p3 = st*cp*1e-36 (normal, never
+    # flushed); p2 ~ -1000*st*cp -> s2 = p2/p3 = -1e39 -> -inf.
+    T = np.zeros((P, 3, 3), np.float32)
+    T[0] = [[1, 0, 0], [0, 1e-36, 0], [0, 1000, 5]]
+    # ordinary splat at the same spot, slightly nearer
+    T[1] = [[0.5, 0, 0], [0, 0.5, 0], [0, 0, 4]]
+    H, W = BASE.height, BASE.width
+    # center pixel inside tile 0 (rows 0-7) so the 2d branch accepts
+    xy = np.tile(np.asarray([[W * 0.5, 4.0]], np.float32), (P, 1))
+    depth = np.full(P, 5.0, np.float32)
+    depth[1] = 4.0
+    valid = np.zeros(P, bool)
+    valid[:2] = True
+    return PreprocessOut(
+        T=jnp.asarray(T), xy=jnp.asarray(xy), depth=jnp.asarray(depth),
+        normal=jnp.asarray(np.tile([[0, 0, 1]], (P, 1)).astype(np.float32)),
+        color=jnp.asarray(np.full((P, 4), 0.8, np.float32)),
+        radius=jnp.where(jnp.asarray(valid), 4.0, 0.0),
+        rect_min=jnp.zeros((P, 2), jnp.int32),
+        rect_max=jnp.where(jnp.asarray(valid)[:, None],
+                           jnp.ones((P, 2), jnp.int32), 0),
+        tiles_touched=jnp.asarray(valid, jnp.int32),
+        valid=jnp.asarray(valid))
+
+
+def test_edge_on_splat_gradients_finite_pallas(interpret_pallas):
+    """Backward-kernel gradients stay finite when an instance's
+    intersection coordinates overflow (s2 = p2/p3 -> -inf)."""
+    from gslidar_tpu.raster.pallas_fwd import make_params, pack_payload
+    from gslidar_tpu.raster.pallas_op import composite_op
+
+    s = dataclasses.replace(BASE, num_extra_features=0, pair_cap=256,
+                            backend="pallas")
+    prep = _edge_on_prep()
+    opac = jnp.full(prep.depth.shape, 0.9)
+    feats = jnp.zeros((prep.depth.shape[0], 0))
+    params = make_params(1.0, s)
+
+    def loss(packed):
+        color, feature, depth, misc8 = composite_op(
+            packed, prep.rect_min, prep.rect_max, prep.depth,
+            prep.tiles_touched, 1.0, params, s, 4, 0)
+        return (jnp.sum(color) + jnp.sum(feature) + jnp.sum(depth[:, :2])
+                + jnp.sum(misc8[:, 0]))
+
+    packed = pack_payload(prep, opac, feats)
+    val, g = jax.value_and_grad(loss)(packed)
+    assert np.isfinite(float(val))
+    assert np.isfinite(np.asarray(g)).all(), "NaN/inf leaked into grads"
+    # the ordinary splat must still receive real gradients
+    assert float(jnp.abs(g[1]).sum()) > 0
+
+
+def test_edge_on_splat_gradients_finite_xla():
+    """Same corner through the XLA scan compositor's autodiff."""
+    from gslidar_tpu.raster.binning import bin_gaussians
+    from gslidar_tpu.raster.composite import composite
+
+    s = dataclasses.replace(BASE, num_extra_features=0, pair_cap=256,
+                            backend="xla")
+    prep = _edge_on_prep()
+    opac = jnp.full(prep.depth.shape, 0.9)
+    feats = jnp.zeros((prep.depth.shape[0], 0))
+    bg = jnp.asarray([0.0, 0.0, 0.0, 1.0])
+
+    def loss(T, opacity):
+        p = prep._replace(T=T)
+        binning = bin_gaussians(p.rect_min, p.rect_max, p.depth,
+                                p.tiles_touched, 1.0, s)
+        tiles = composite(binning, p, feats, opacity, bg, 1.0, s)
+        return (jnp.sum(tiles.color) + jnp.sum(tiles.depth[:2])
+                + jnp.sum(tiles.alpha))
+
+    val, g = jax.value_and_grad(loss, argnums=(0, 1))(prep.T, opac)
+    assert np.isfinite(float(val))
+    for a in g:
+        assert np.isfinite(np.asarray(a)).all(), "NaN/inf leaked into grads"

@@ -340,14 +340,18 @@ def training(args):
             # independent of the pair-cap flag: pinning raster_pair_cap
             # must not silently disable the XLA per-tile list fix
             if tile_list_cap_auto and list_drops > 0:
-                # the worst tile holds at most cap + total_drops instances,
-                # so one growth step always clears the overflow (doubling
-                # from a small base can take many logged steps to converge)
-                need = tile_list_cap_now + list_drops
+                # size from the measured worst tile (exact on this step's
+                # pair-cap-clipped stream; summed drops would overshoot
+                # by up to the number of overflowing tiles). If the pair
+                # cap ALSO grew this step, the unclipped demand may still
+                # exceed this — the next logged window then fires another
+                # growth step; convergence is monotone, not one-shot.
+                need = max(int(np.asarray(log.get("tile_need", 0))),
+                           tile_list_cap_now + 1)
                 new_list_cap = 1 << (need - 1).bit_length()
                 print(f"[{iteration}] tile_list_cap {tile_list_cap_now} "
-                      f"-> {new_list_cap} ({list_drops} dropped)",
-                      flush=True)
+                      f"-> {new_list_cap} ({list_drops} dropped, worst "
+                      f"tile {need})", flush=True)
                 tile_list_cap_now = new_list_cap
                 rebuild = True
             if rebuild:
