@@ -101,10 +101,11 @@ def main():
         print(f"BENCH FALLBACK: pallas backend failed ({e!r}); "
               "re-measuring on the XLA scan backend", file=sys.stderr)
         run(dataclasses.replace(settings, backend="xla",
-                                tile_list_cap=1 << 16), scene)
+                                tile_list_cap=1 << 16), scene,
+            backend_label="xla-fallback")
 
 
-def run(settings, scene):
+def run(settings, scene, backend_label=None):
     import jax
     import jax.numpy as jnp
     from gslidar_tpu.raster import rasterize
@@ -146,11 +147,14 @@ def run(settings, scene):
     per_render = (times[N_HI] - times[N_LO]) / (N_HI - N_LO)
     renders_per_sec = 1.0 / per_render
 
+    # "backend" makes a fallback run machine-distinguishable on stdout
+    # (the loud note alone goes to stderr, which JSON consumers drop)
     print(json.dumps({
         "metric": "pano_360_renders_per_sec_66x1030_1M_gaussians",
         "value": round(renders_per_sec, 3),
         "unit": "renders/s",
         "vs_baseline": round(renders_per_sec / A100_BASELINE_RENDERS_PER_SEC, 3),
+        "backend": backend_label or settings.backend,
     }))
 
 

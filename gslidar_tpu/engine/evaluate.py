@@ -69,9 +69,14 @@ def make_eval_render360(args, cfg, settings, bg):
     w = settings.width
     pix_deg = (settings.hfov[1] - settings.hfov[0]) / w
     hmin = settings.hfov[0] - (w // 2) * pix_deg
+    # the doubled eval cap must respect binning's 24-bit slot-offset
+    # packing (binning.py asserts pair_cap <= 2^24) — auto_pair_cap can
+    # legitimately grow the training cap to that ceiling, and 2x past it
+    # would assert inside the eval jit; saturate and rely on the
+    # _check_dropped overflow warning instead
     s360 = dataclasses.replace(
         settings, width=w * 2, hfov=(hmin, hmin + 2 * w * pix_deg),
-        wrap_x=True, pair_cap=settings.pair_cap * 2,
+        wrap_x=True, pair_cap=min(settings.pair_cap * 2, 1 << 24),
         compute_distortion=False)
 
     @jax.jit

@@ -53,6 +53,7 @@ const view = document.getElementById('view');
 view.onkeydown = e => keys[e.key.toLowerCase()] = true;
 view.onkeyup = e => keys[e.key.toLowerCase()] = false;
 let drag = null;
+let lastQ = '';
 view.onmousedown = e => drag = [e.clientX, e.clientY];
 window.onmouseup = () => drag = null;
 window.onmousemove = e => {
@@ -86,7 +87,11 @@ async function tick() {
         k + '=' + document.getElementById(k).value).join('&');
   }
   q += '&frame=' + document.getElementById('frame').value;
-  if (drag || Object.values(keys).some(v => v)) q += '&preview=1';
+  // the camera "moves" when the mouse drags, a fly key is held, OR an
+  // orbit/frame slider changed since the last tick — all three ask for
+  // the half-resolution preview render
+  const slid = q !== lastQ; lastQ = q;
+  if (drag || slid || Object.values(keys).some(v => v)) q += '&preview=1';
   const t0 = performance.now();
   try {
     const r = await fetch('/render?' + q);

@@ -78,13 +78,17 @@ def _untile(img_tp: jnp.ndarray, settings: RasterSettings) -> jnp.ndarray:
 
 
 def tile_list_overflow(binning: Binning, settings: RasterSettings):
-    """Instances beyond ``tile_list_cap`` in their tile's sorted list —
-    the XLA scan compositor processes only the first ``tile_list_cap``
-    instances per tile (the CUDA kernel has no such cap,
-    rasterizer_impl.cu:308-354), so any positive value here means the
-    render silently clipped. Callers fold this into ``num_dropped``."""
+    """Instances the XLA scan compositor actually clipped per tile (the
+    CUDA kernel has no such cap, rasterizer_impl.cu:308-354), so any
+    positive value here means the render silently clipped. Callers fold
+    this into ``num_dropped``. The scan processes whole ``tile_chunk``
+    blocks, so the EFFECTIVE cap is tile_list_cap rounded up to the
+    chunk — counting against the raw cap would report drops for
+    instances that were fully composited."""
+    chunk = settings.tile_chunk
+    eff_cap = -(-settings.tile_list_cap // chunk) * chunk
     counts = binning.tile_starts[1:] - binning.tile_starts[:-1]
-    return jnp.sum(jnp.maximum(counts - settings.tile_list_cap, 0))
+    return jnp.sum(jnp.maximum(counts - eff_cap, 0))
 
 
 def tile_list_need(binning: Binning) -> jnp.ndarray:
@@ -110,11 +114,10 @@ def composite(binning: Binning, prep: PreprocessOut, features: jnp.ndarray,
     # Pre-gather all per-instance data into sorted order ONCE — the scan
     # body then reads contiguous 64-row runs instead of doing a random
     # [tiles, chunk] gather per chunk (random gathers are ~18ms/2M on v5e).
-    # columns of T: component triples (forward.cu:385-387)
-    Tcols = prep.T.transpose(0, 2, 1).reshape(-1, 9)  # [P, 9] (x,y,z triples)
-    packed = jnp.concatenate([
-        Tcols, prep.xy, prep.depth[:, None], prep.normal,
-        opacity[:, None], prep.color, features], axis=1)      # [P, 20+C+S]
+    # The row layout is pack_payload's (single definition — composite_rows
+    # decodes it by the pallas kernels' _F_* column indices).
+    from gslidar_tpu.raster.pallas_fwd import pack_payload
+    packed = pack_payload(prep, opacity, features)            # [P, 20+C+S]
     sorted_data = packed[binning.gid_sorted]                  # [K, D]
     return composite_rows(sorted_data, binning.tile_starts, C,
                           features.shape[-1], bg, scale_factor, settings,

@@ -313,18 +313,28 @@ def training(args):
             rate = iteration / max(time.time() - t_start, 1e-9)
             dropped = int(np.asarray(log.get("num_dropped", 0)))
             pairs_now = int(np.asarray(log.get("num_pairs", 0)))
+            tile_need = int(np.asarray(log.get("tile_need", 0)))
             # num_dropped folds two causes: the global instance cap
             # (num_pairs > pair_cap) and, on the XLA backend only, the
-            # per-tile list cap (composite.tile_list_overflow)
+            # per-tile list cap. Each cause is detected from its OWN
+            # exact signal — in DP runs num_dropped/num_pairs are maxima
+            # over different cameras, so subtracting them could compute
+            # zero list drops while some camera silently clips tiles.
+            # The scan composites whole tile_chunk blocks, so the
+            # effective per-tile cap is the chunk-rounded one.
             pair_drops = max(pairs_now - pair_cap_now, 0)
-            list_drops = max(dropped - pair_drops, 0)
+            chunk = int(args.get("raster_tile_chunk", 64))
+            eff_list_cap = -(-tile_list_cap_now // chunk) * chunk
+            list_over = tile_need > eff_list_cap
             drop_note = ""
             if pair_drops > 0:
                 drop_note += (f" PAIR-CAP OVERFLOW: {pair_drops} instances "
                               f"dropped (raise raster_pair_cap)")
-            if list_drops > 0:
-                drop_note += (f" TILE-LIST OVERFLOW: {list_drops} instances "
-                              f"dropped (raise raster_tile_list_cap)")
+            if list_over:
+                drop_note += (f" TILE-LIST OVERFLOW: worst tile holds "
+                              f"{tile_need} > cap {eff_list_cap} "
+                              f"({max(dropped - pair_drops, 0)} instances "
+                              f"dropped; raise raster_tile_list_cap)")
             rebuild = False
             if pair_cap_auto and "num_pairs" in log:
                 pairs_window.append(pairs_now)
@@ -339,19 +349,17 @@ def training(args):
                     rebuild = True
             # independent of the pair-cap flag: pinning raster_pair_cap
             # must not silently disable the XLA per-tile list fix
-            if tile_list_cap_auto and list_drops > 0:
+            if tile_list_cap_auto and list_over:
                 # size from the measured worst tile (exact on this step's
                 # pair-cap-clipped stream; summed drops would overshoot
                 # by up to the number of overflowing tiles). If the pair
                 # cap ALSO grew this step, the unclipped demand may still
                 # exceed this — the next logged window then fires another
                 # growth step; convergence is monotone, not one-shot.
-                need = max(int(np.asarray(log.get("tile_need", 0))),
-                           tile_list_cap_now + 1)
+                need = max(tile_need, tile_list_cap_now + 1)
                 new_list_cap = 1 << (need - 1).bit_length()
                 print(f"[{iteration}] tile_list_cap {tile_list_cap_now} "
-                      f"-> {new_list_cap} ({list_drops} dropped, worst "
-                      f"tile {need})", flush=True)
+                      f"-> {new_list_cap} (worst tile {need})", flush=True)
                 tile_list_cap_now = new_list_cap
                 rebuild = True
             if rebuild:
