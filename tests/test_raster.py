@@ -340,3 +340,23 @@ def test_mark_visible_matches_preprocess_cull(rng):
     touched = np.asarray(prep.tiles_touched) > 0
     assert touched.sum() > 50                  # scene is mostly in view
     assert np.all(vis[touched])                # instances => marked visible
+
+
+def test_tile_list_overflow_respects_chunk_rounding():
+    """The scan composites whole tile_chunk blocks, so a raw cap that is
+    not a chunk multiple must not report drops for instances the render
+    actually blended — counting against the raw cap caused false
+    TILE-LIST OVERFLOW warnings and pointless auto-grow re-jits."""
+    import dataclasses
+
+    from gslidar_tpu.raster.binning import Binning
+    from gslidar_tpu.raster.composite import tile_list_need, tile_list_overflow
+
+    s = dataclasses.replace(SET, tile_chunk=64, tile_list_cap=100)
+    # effective cap = ceil(100/64)*64 = 128: a 120-instance tile is fully
+    # blended (no drop); a 200-instance tile drops 72
+    starts = jnp.asarray([0, 120, 320], jnp.int32)
+    b = Binning(gid_sorted=None, tile_sorted=None, tile_starts=starts,
+                num_pairs=jnp.asarray(320), num_dropped=jnp.asarray(0))
+    assert int(tile_list_overflow(b, s)) == 200 - 128
+    assert int(tile_list_need(b)) == 200
