@@ -43,7 +43,7 @@ def frame_image(points, width=1024, height=512):
     import matplotlib
     img = np.zeros((height, width, 3), np.uint8)
     u, v, z = project_points(points, width=width, height=height)
-    t = np.clip(1.0 - (z - z.min()) / max(z.ptp(), 1e-6), 0, 1)
+    t = np.clip(1.0 - (z - z.min()) / max(np.ptp(z), 1e-6), 0, 1)
     cmap = matplotlib.colormaps.get_cmap("turbo")
     colors = (cmap(t)[:, :3] * 255).astype(np.uint8)
     img[v, u] = colors

@@ -1,0 +1,52 @@
+"""Smoke tests for the standalone scripts (BASELINE.md workload 1 and the
+reference's scripts/visualize_lidar_in_video.py equivalent) — each runs
+in a subprocess from a temp cwd, like a user would."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tests.conftest import REPO
+
+
+def _run(args, cwd, timeout=600):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    return subprocess.run([sys.executable] + args, cwd=cwd, env=env,
+                          capture_output=True, text=True, timeout=timeout)
+
+
+@pytest.mark.slow
+def test_compare_2dgs_3dgs_script(tmp_path):
+    """The oracle comparison script (reference scripts/compare_2dgs_3dgs.py,
+    BASELINE workload 1) renders both splatting variants and writes its
+    comparison grids."""
+    r = _run([os.path.join(REPO, "scripts", "compare_2dgs_3dgs.py")],
+             cwd=tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = tmp_path / "eval_output" / "compare_2dgs_3dgs"
+    assert (out / "case1.png").exists() and (out / "case2.png").exists()
+
+
+def test_visualize_lidar_in_video_script(tmp_path):
+    """The 3D video visualizer (reference scripts/visualize_lidar_in_video
+    .py) re-projects per-frame .ply clouds and encodes a video (or PNG
+    frames without cv2)."""
+    from gslidar_tpu.utils.ply import write_ply
+
+    rng = np.random.default_rng(0)
+    ply_dir = tmp_path / "plys"
+    ply_dir.mkdir()
+    for i in range(3):
+        pts = rng.uniform(-20, 20, (500, 3)).astype(np.float32)
+        write_ply(str(ply_dir / f"frame_{i:03d}.ply"),
+                  {"x": pts[:, 0], "y": pts[:, 1], "z": pts[:, 2]})
+    r = _run([os.path.join(REPO, "scripts", "visualize_lidar_in_video.py"),
+              "--ply_dir", str(ply_dir)], cwd=tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    made = list(ply_dir.glob("3d*"))
+    assert made, "no video or frame output written"
