@@ -50,3 +50,21 @@ def test_visualize_lidar_in_video_script(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     made = list(ply_dir.glob("3d*"))
     assert made, "no video or frame output written"
+
+
+def test_spoof_offset_headless(tmp_path):
+    """tools/spoof_offset.py --set writes the (300, 2) offsets array the
+    OPV2V spoof loader replays (reference spoof_offset.py), without a
+    display or the external attack repo."""
+    r = _run([os.path.join(REPO, "tools", "spoof_offset.py"),
+              "--attack_id", "5", "--set", "1.5", "--", "-2.0"],
+             cwd=tmp_path)
+    if r.returncode != 0:
+        # argparse variants for the negative arg differ; retry plain
+        r = _run([os.path.join(REPO, "tools", "spoof_offset.py"),
+                  "--attack_id", "5", "--set", "1.5", "-2.0"],
+                 cwd=tmp_path)
+    assert r.returncode == 0, r.stderr[-1500:]
+    arr = np.load(tmp_path / "offsets" / "spoof_offsets.npy")
+    assert arr.shape == (300, 2)
+    assert np.allclose(arr[5], [1.5, -2.0])
