@@ -68,3 +68,20 @@ def test_spoof_offset_headless(tmp_path):
     arr = np.load(tmp_path / "offsets" / "spoof_offsets.npy")
     assert arr.shape == (300, 2)
     assert np.allclose(arr[5], [1.5, -2.0])
+
+
+def test_generate_spoof_configs_from_snapshot(tmp_path):
+    """Without the external AdvCollaborativePerception repo the config
+    generator falls back to the carried configs/attack_infos.json
+    snapshot and still emits runnable per-attack yamls."""
+    import yaml
+
+    r = _run([os.path.join(REPO, "tools", "generate_spoof_configs.py"),
+              "--out", str(tmp_path / "all_configs"), "--n", "5"],
+             cwd=tmp_path)
+    assert r.returncode == 0, r.stderr[-1500:]
+    cfg = yaml.safe_load(
+        (tmp_path / "all_configs" / "opv2v_spoof_attack_3.yaml").read_text())
+    assert cfg["attack_id"] == 3
+    assert isinstance(cfg["attacker_vehicle_id"], int)
+    assert cfg["scene_type"] == "OPV2V_SR"

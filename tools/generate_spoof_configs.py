@@ -65,12 +65,30 @@ BASE_CONFIG = {
 }
 
 
+def _attack_info_source():
+    """Per-attack metadata: the external GeneralAttacker when available
+    (live queries, like the reference), else the carried snapshot of its
+    300-case table (configs/attack_infos.json)."""
+    try:
+        from gslidar_tpu.data.opv2v import get_general_attacker
+        ga = get_general_attacker()
+        return lambda aid: ga.get_spoof_attack_info(aid)
+    except Exception as e:                       # noqa: BLE001
+        import json
+        path = os.path.join(os.path.dirname(__file__), "..", "configs",
+                            "attack_infos.json")
+        table = json.load(open(path))
+        print(f"external AdvCollaborativePerception unavailable ({e!r}); "
+              f"using configs/attack_infos.json ({len(table)} cases)")
+        by_id = {c["case_id"]: c for c in table}
+        return lambda aid: by_id[aid]
+
+
 def main(output_dir: str, n_attacks: int = 300):
-    from gslidar_tpu.data.opv2v import get_general_attacker
-    ga = get_general_attacker()
+    info_for = _attack_info_source()
     os.makedirs(output_dir, exist_ok=True)
     for attack_id in range(n_attacks):
-        info = ga.get_spoof_attack_info(attack_id)
+        info = info_for(attack_id)
         config = dict(BASE_CONFIG)
         config["attack_id"] = attack_id
         config["attack_frame_ids"] = list(range(10))
