@@ -85,3 +85,32 @@ def test_generate_spoof_configs_from_snapshot(tmp_path):
     assert cfg["attack_id"] == 3
     assert isinstance(cfg["attacker_vehicle_id"], int)
     assert cfg["scene_type"] == "OPV2V_SR"
+
+
+def test_spoof_visualization_bev_frame(tmp_path):
+    """plot_bev_for_frame draws a synthetic scene headlessly (Agg) —
+    the full CLI needs the external attack repo for vehicle poses, but
+    the drawing path must not rot."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "spoof_visualization",
+        os.path.join(REPO, "tools", "spoof_visualization.py"))
+    sv = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sv)
+    vehicles = {
+        1: {"location": [0.0, 0.0, 0.0], "extent": [2.2, 1.0, 0.8],
+            "angle": [0.0, 30.0, 0.0]},
+        2: {"location": [8.0, 3.0, 0.0], "extent": [2.0, 0.9, 0.8],
+            "angle": [0.0, -15.0, 0.0]},
+        3: {"location": [-5.0, 6.0, 0.0], "extent": [2.4, 1.1, 0.8],
+            "angle": [0.0, 90.0, 0.0]},
+    }
+    nxt = {k: {**v, "location": [v["location"][0] + 1.0,
+                                 v["location"][1] + 0.5, 0.0]}
+           for k, v in vehicles.items()}
+    sv.plot_bev_for_frame(0, vehicles, [4.0, -2.0, 0.3, 4.5, 2.0],
+                          nxt, [5.0, -1.5, 0.3, 4.5, 2.0],
+                          attacker_id=1, victim_id=2, participant_ids=[3],
+                          attack_id=7, save_dir=str(tmp_path))
+    assert (tmp_path / "bev_000.png").stat().st_size > 0
