@@ -155,3 +155,31 @@ def test_meters_shapes():
     p.update(img, img)
     cd, f = p.measure()
     assert cd < 1e-6 and f > 0.99
+
+
+def test_lpips_forward_with_synthetic_weights(tmp_path, rng):
+    """The full AlexNet-LPIPS forward runs once weights are provided via
+    the converted-npz format (GSLIDAR_LPIPS_WEIGHTS contract): d(x,x)=0,
+    d(x,y) finite-positive. Real pretrained values cannot ship in this
+    image, so random weights validate the machinery (shapes, key names,
+    normalization, linear heads) end-to-end."""
+    from gslidar_tpu.utils.lpips_jax import load_lpips
+
+    chans = [(3, 64, 11), (64, 192, 5), (192, 384, 3), (384, 256, 3),
+             (256, 256, 3)]
+    w = {}
+    for i, (cin, cout, k) in enumerate(chans):
+        w[f"conv{i}_w"] = (rng.normal(size=(cout, cin, k, k)) * 0.05
+                           ).astype(np.float32)
+        w[f"conv{i}_b"] = np.zeros(cout, np.float32)
+        w[f"lin{i}_w"] = rng.uniform(0, 1, (1, cout, 1, 1)).astype(np.float32)
+    path = tmp_path / "lpips_rand.npz"
+    np.savez(path, **w)
+
+    fn = load_lpips(str(path))
+    a = rng.uniform(0, 1, (1, 66, 128)).astype(np.float32)
+    b = rng.uniform(0, 1, (1, 66, 128)).astype(np.float32)
+    d_same = float(fn(a, a))
+    d_diff = float(fn(a, b))
+    assert abs(d_same) < 1e-6
+    assert np.isfinite(d_diff) and d_diff > 0
