@@ -118,6 +118,26 @@ def _pano_angles(p_cam):
     return phi, theta, r
 
 
+def center_projection(T, bounds, settings: RasterSettings):
+    """Pixel coordinates and spherical range of the splat centers from the
+    frame's p_cam row: (xy [P, 2], r [P]).
+
+    ``rasterize`` re-applies this to the TAPPED T so the compositors'
+    center-pixel (rho2d low-pass branch) and center-range gradients chain
+    into dL/dT through autodiff — exactly the reference's semantics, where
+    the render backward routes the 2d-branch dL/dmean2D through the
+    spherical Jacobian into dL_dT[*].z (backward.cu:578-595) and the
+    2d-branch depth gradient directly as dL_dr * p_cam / r
+    (backward.cu:505-508) BEFORE the densification gradient is read off
+    dL_dT (backward.cu:684-711).
+    """
+    VFOV_min, VFOV_max, HFOV_min, HFOV_max = bounds
+    phi, theta, r = _pano_angles(T[:, 2, :])
+    cx = (phi - HFOV_min) * settings.width / (HFOV_max - HFOV_min)
+    cy = (theta - VFOV_min) * settings.height / (VFOV_max - VFOV_min)
+    return jnp.stack([cx, cy], -1), r
+
+
 def _frustum_ok(phi, theta, r, bounds, scale_factor):
     """Panoramic frustum cull with a fixed 1.3x margin
     (auxiliary.h:182-204): near-plane reject + angular window. Shared by

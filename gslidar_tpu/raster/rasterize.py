@@ -60,6 +60,19 @@ def rasterize(means3D, scales, rotations, opacity, shs, features, mask,
                       cull_bounds)
     if T_tap is not None:
         prep = prep._replace(T=prep.T + T_tap)
+        # Re-derive the compositors' center pixel/range THROUGH the tapped
+        # frame: with a zero tap the values are bitwise-identical to
+        # preprocess's own (same expression on the same inputs), but the
+        # rho2d low-pass branch's pixel gradient and the 2d-branch
+        # center-range gradient now chain into dL/dT — the reference does
+        # exactly this before reading the densification gradient off dL_dT
+        # (backward.cu:578-595,505-508,684-711). Without it the T-tap
+        # densify stats silently miss every 2d-branch contribution.
+        from gslidar_tpu.raster.preprocess import center_projection
+        bounds = (angle_bounds if angle_bounds is not None
+                  else settings.angle_bounds)
+        xy, r_center = center_projection(prep.T, bounds, settings)
+        prep = prep._replace(xy=xy, depth=r_center)
 
     if features is None or features.shape[-1] == 0:
         features = jnp.zeros((means3D.shape[0], 0), means3D.dtype)

@@ -360,3 +360,61 @@ def test_tile_list_overflow_respects_chunk_rounding():
                 num_pairs=jnp.asarray(320), num_dropped=jnp.asarray(0))
     assert int(tile_list_overflow(b, s)) == 200 - 128
     assert int(tile_list_need(b)) == 200
+
+
+def test_tap_grad_includes_2d_branch():
+    """Sub-pixel splats composite through the rho2d low-pass branch; the
+    reference chains their pixel gradient through the spherical Jacobian
+    and their center-range gradient through p_cam/r into dL/dT
+    (backward.cu:494-509,578-595) BEFORE densification stats are read off
+    dL_dT (backward.cu:684-711). The T-tap must therefore carry a nonzero
+    p_cam-row gradient for a pure-2d-branch scene (it is exactly zero if
+    xy/r_center bypass the tapped frame) and match finite differences."""
+    jax.config.update("jax_enable_x64", True)
+    try:
+        settings = RasterSettings(height=16, width=32, vfov=VFOV, hfov=HFOV,
+                                  num_extra_features=0, pair_cap=1 << 9,
+                                  tile_chunk=8, tile_list_cap=32)
+        # scale 0.12 at r~8-12 keeps the pixel radius in [0.3, 0.7] px
+        # (just past the radii<0.3 reject) while rho3d/rho2d ~ 10-20x, so
+        # every accepted pixel takes the 2d low-pass branch
+        means = jnp.asarray([[0.0, -0.5, 8.0], [1.0, 0.5, 10.0],
+                             [-1.0, 0.0, 12.0]], jnp.float64)
+        scales = jnp.full((3, 3), 0.12, jnp.float64)
+        quats = jnp.asarray(np.random.default_rng(0).normal(size=(3, 4)))
+        opac = jnp.asarray([0.9, 0.8, 0.85], jnp.float64)
+        shs = jnp.asarray(0.3 * np.random.default_rng(1).normal(size=(3, 16, 4)))
+        feats = jnp.zeros((3, 0), jnp.float64)
+        mask = jnp.ones(3, bool)
+        viewmat = jnp.eye(4, dtype=jnp.float64)
+        campos = jnp.zeros(3, jnp.float64)
+        bg = jnp.asarray([0.0, 0.0, 0.0, 1.0], jnp.float64)
+
+        # the mean-depth output exercises BOTH new chains: w depends on
+        # rho2d (center-pixel chain) and d_safe = r_center on 2d lanes
+        # (center-range chain). The color channels go through the MXU
+        # einsum whose f32 accumulation makes f64 finite differences too
+        # noisy to check against, so the FD loop sticks to depth.
+        def loss(tap):
+            out = rasterize(means, scales, quats, opac, shs, feats, mask,
+                            viewmat, campos, bg, 3, 1.0, settings=settings,
+                            T_tap=tap)
+            return jnp.sum(out.depth[0] ** 2)
+
+        loss_j = jax.jit(loss)
+        tap0 = jnp.zeros((3, 3, 3), jnp.float64)
+        g = np.asarray(jax.jit(jax.grad(loss))(tap0))
+        # the p_cam row (2d-branch pixel + center-range chain) must be live
+        assert np.abs(g[:, 2, :]).max() > 1e-6, g[:, 2, :]
+
+        eps = 1e-6
+        for gi in range(3):
+            for j in range(3):
+                dt = np.zeros((3, 3, 3))
+                dt[gi, 2, j] = eps
+                fd = (float(loss_j(tap0 + dt))
+                      - float(loss_j(tap0 - dt))) / (2 * eps)
+                assert np.isclose(g[gi, 2, j], fd, rtol=2e-3, atol=1e-8), \
+                    f"tap grad[{gi},2,{j}]={g[gi, 2, j]} vs fd={fd}"
+    finally:
+        jax.config.update("jax_enable_x64", False)
