@@ -198,7 +198,7 @@ def render_pano_gaussian_sharded(means3D, scales, rotations, opacity, shs,
     from gslidar_tpu.raster.binning import bin_gaussians
     from gslidar_tpu.raster.composite import (composite_rows,
                                               tile_list_overflow)
-    from gslidar_tpu.raster.pallas_fwd import pack_payload
+    from gslidar_tpu.raster.pallas_fwd import PAYLOAD_BASE, pack_payload
     from gslidar_tpu.raster.preprocess import preprocess
 
     n = mesh.shape[axis]
@@ -235,7 +235,7 @@ def render_pano_gaussian_sharded(means3D, scales, rotations, opacity, shs,
     step = (hmax - hmin) / n
     S = features.shape[-1] if features is not None else 0
     C = bg.shape[-1]
-    R = 16 + C + S                    # payload row width (pack_payload)
+    R = PAYLOAD_BASE + C + S          # payload row width (pack_payload)
     sf = scale_factor
 
     def body(means3D, scales, rotations, opacity, shs, features, mask,
@@ -259,19 +259,22 @@ def render_pano_gaussian_sharded(means3D, scales, rotations, opacity, shs,
         # constantly 1.0 for rows the scatter actually keeps), so build it
         # once per run, not once per (run, slice)
         ones = jnp.ones((payload.shape[0], 1), jnp.float32)
+        # sideband: the sort depth rides the record (the slim payload
+        # carries no center-range column; compositors recompute it)
         recs = [jnp.concatenate(
-                    [payload, y0[:, None].astype(jnp.float32),
+                    [payload, prep.depth[:, None],
+                     y0[:, None].astype(jnp.float32),
                      y1[:, None].astype(jnp.float32),
                      rlo[:, None].astype(jnp.float32),
                      rhi[:, None].astype(jnp.float32), ones], axis=1)
-                for rlo, rhi in runs]             # per-run [Pl, R + 5]
+                for rlo, rhi in runs]             # per-run [Pl, R + 6]
         rows_y = (y1 - y0).astype(jnp.int32)
         send = []
         n_dropped = jnp.zeros((), jnp.int32)
         for s in range(n):
             w0c, w1c = s * gxl, (s + 1) * gxl
             base = jnp.zeros((), jnp.int32)
-            buf = jnp.zeros((edge_cap, R + 5), jnp.float32)
+            buf = jnp.zeros((edge_cap, R + 6), jnp.float32)
             for (rlo, rhi), rec in zip(runs, recs):
                 m = live & (rhi > rlo) & (rlo < w1c) & (rhi > w0c)
                 rank = jnp.cumsum(m.astype(jnp.int32)) - 1 + base
@@ -287,26 +290,25 @@ def render_pano_gaussian_sharded(means3D, scales, rotations, opacity, shs,
                 n_dropped = n_dropped + jnp.sum(jnp.where(lost, inst, 0))
                 base = base + jnp.sum(m.astype(jnp.int32))
             send.append(buf)
-        send = jnp.concatenate(send, axis=0)     # [n * edge_cap, R + 5]
+        send = jnp.concatenate(send, axis=0)     # [n * edge_cap, R + 6]
         recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0,
-                                  tiled=True)    # [n * edge_cap, R + 5]
+                                  tiled=True)    # [n * edge_cap, R + 6]
 
         # ---- 3. local binning + compositing on the received records -----
         pay_r = recv[:, :R]
-        ry0 = recv[:, R].astype(jnp.int32)
-        ry1 = recv[:, R + 1].astype(jnp.int32)
-        rlo = recv[:, R + 2].astype(jnp.int32)
-        rhi = recv[:, R + 3].astype(jnp.int32)
-        rvalid = recv[:, R + 4] > 0.5
+        depth_r = recv[:, R]
+        ry0 = recv[:, R + 1].astype(jnp.int32)
+        ry1 = recv[:, R + 2].astype(jnp.int32)
+        rlo = recv[:, R + 3].astype(jnp.int32)
+        rhi = recv[:, R + 4].astype(jnp.int32)
+        rvalid = recv[:, R + 5] > 0.5
         w0c = d * gxl
         lo_l = jnp.clip(rlo - w0c, 0, gxl)
         hi_l = jnp.clip(rhi - w0c, 0, gxl)
         tt = jnp.where(rvalid, (hi_l - lo_l) * (ry1 - ry0), 0)
-        # splat centers move to slice-local pixel x (the wrap_period
-        # correction restores global circular distances)
-        pay_r = pay_r.at[:, 9].add(
-            jnp.where(rvalid, -(d * Wl).astype(jnp.float32), 0.0))
-        depth_r = pay_r[:, 11]
+        # no center-x shift is needed: composite_rows recomputes the
+        # center pixel from p_cam under the SLICE angle_bounds, which
+        # yields slice-local x directly (cx_local = cx_global - d*Wl)
         binning = bin_gaussians(
             jnp.stack([lo_l, ry0], -1), jnp.stack([hi_l, ry1], -1),
             depth_r, tt.astype(jnp.int32), sf, sub, payload=pay_r)

@@ -39,14 +39,17 @@ K=2.26M; scripts/microbench_segbcast.py, scripts/microbench_dma_gather.py)
     [P, 128], 5x the traffic). The XLA gather IS the engine floor:
     ~7.6 ms + ~0.45 ms/f32-column per M rows.
 
-Untried candidate consistent with that cost model (needs a chip to
-measure; left for a measured session): shrink the payload by
-recomputing xy and r_c inside the compositors from the p_cam triple
-already present in the T columns (kernel-space (Tuz, Tvz, Twz)): two
-atan2 + one rsqrt per INSTANCE (amortized over the tile's pixels)
-deletes 3 of the D gathered columns, ~0.45 ms/col per M rows off the
-post-sort gather on both backends. Parity caveat: the recomputed
-pixel coords match preprocess only to transcendental ulp, so the
+IMPLEMENTED from that cost model (re-measure on a chip): the payload
+carries no xy / r_c columns — every compositor recomputes them from
+the p_cam triple already present in the T columns (kernel-space
+(Tuz, Tvz, Twz)): two atan2 + one rsqrt per INSTANCE (amortized over
+the tile's pixels) deletes 3 of the D gathered columns, ~0.45 ms/col
+per M rows off the post-sort gather on both backends (and 2 net
+columns of ICI traffic in the gaussian-sharded exchange). The
+gradients of the recomputed center chain into the T columns through
+the spherical Jacobian, which is exactly the reference's fold
+(backward.cu:578-595,505-508). Parity caveat: the Pallas kernels use
+a Cephes-style polynomial atan2 (Mosaic has no atan lowering), so
 pallas-vs-XLA comparisons stay tolerance-based (they already are).
 
 Hence the design: the slot->gaussian map g(k) — a non-decreasing step

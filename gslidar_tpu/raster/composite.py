@@ -117,7 +117,7 @@ def composite(binning: Binning, prep: PreprocessOut, features: jnp.ndarray,
     # The row layout is pack_payload's (single definition — composite_rows
     # decodes it by the pallas kernels' _F_* column indices).
     from gslidar_tpu.raster.pallas_fwd import pack_payload
-    packed = pack_payload(prep, opacity, features)            # [P, 20+C+S]
+    packed = pack_payload(prep, opacity, features)            # [P, 13+C+S]
     sorted_data = packed[binning.gid_sorted]                  # [K, D]
     return composite_rows(sorted_data, binning.tile_starts, C,
                           features.shape[-1], bg, scale_factor, settings,
@@ -129,8 +129,10 @@ def composite_rows(sorted_data: jnp.ndarray, tile_starts_full: jnp.ndarray,
                    settings: RasterSettings, angle_bounds=None) -> TileImages:
     """Blend instance rows already in tile-depth order.
 
-    ``sorted_data`` is [K, 16 + C + S] in the pack_payload layout (9 T
-    column-triples, xy, depth, normal, opacity, C colors, S features);
+    ``sorted_data`` is [K, 13 + C + S] in the pack_payload layout (9 T
+    column-triples, normal, opacity, C colors, S features — the center
+    pixel/range are recomputed per instance from the p_cam triple in the
+    T columns, so they cost no gather/exchange width);
     ``tile_starts_full`` is the [num_tiles + 1] range table. Used directly
     by the gaussian-sharded renderer whose instances arrive pre-routed
     (parallel/pano_shard.py) — `composite` packs and delegates here."""
@@ -142,6 +144,8 @@ def composite_rows(sorted_data: jnp.ndarray, tile_starts_full: jnp.ndarray,
 
     px, py, sphi, cphi, stheta, ctheta, _inside = _tile_pixel_grids(
         settings, angle_bounds)
+    VFOV_min, VFOV_max, HFOV_min, HFOV_max = (
+        angle_bounds if angle_bounds is not None else settings.angle_bounds)
     near = NEAR_N * scale_factor
     far = FAR_N * scale_factor
 
@@ -161,12 +165,25 @@ def composite_rows(sorted_data: jnp.ndarray, tile_starts_full: jnp.ndarray,
         Tux, Tuy, Tuz = data[..., 0], data[..., 1], data[..., 2]
         Tvx, Tvy, Tvz = data[..., 3], data[..., 4], data[..., 5]
         Twx, Twy, Twz = data[..., 6], data[..., 7], data[..., 8]
-        xy = data[..., 9:11]                                       # [t, ch, 2]
-        r_center = data[..., 11]
-        nrm = data[..., 12:15]
-        opa = data[..., 15]
-        col = data[..., 16:16 + C]                                 # [t, ch, C]
-        fea = data[..., 16 + C:16 + C + S]                         # [t, ch, S]
+        nrm = data[..., 9:12]
+        opa = data[..., 12]
+        col = data[..., 13:13 + C]                                 # [t, ch, C]
+        fea = data[..., 13 + C:13 + C + S]                         # [t, ch, S]
+        # center pixel/range recomputed from p_cam = (Tuz, Tvz, Twz) with
+        # preprocess.center_projection's guarded formulas (identical
+        # values; the payload carries no xy/depth columns). Gradients
+        # chain into the T columns through the spherical Jacobian exactly
+        # as the reference folds dL_dmean2D into dL_dT
+        # (backward.cu:578-595,505-508). Under slice angle_bounds the
+        # same expression directly yields slice-LOCAL pixel x.
+        degen = (Tuz * Tuz + Twz * Twz) < 1e-20
+        u_s = jnp.where(degen, 0.0, Tuz)
+        w_s = jnp.where(degen, 1.0, Twz)
+        phi_c = jnp.arctan2(u_s, w_s)
+        theta_c = jnp.arctan2(jnp.sqrt(u_s * u_s + w_s * w_s), -Tvz)
+        r_center = jnp.sqrt(Tuz * Tuz + Tvz * Tvz + Twz * Twz + 1e-24)
+        cx = (phi_c - HFOV_min) * settings.width / (HFOV_max - HFOV_min)
+        cy = (theta_c - VFOV_min) * settings.height / (VFOV_max - VFOV_min)
 
         # expand per-pixel: a = [t, ch, 1], b = [t, 1, pix]
         def bc(a):
@@ -214,12 +231,12 @@ def composite_rows(sorted_data: jnp.ndarray, tile_starts_full: jnp.ndarray,
         s2 = jnp.where(degen3, 1e18, p2 / p3_safe)
         rho3d = s1 * s1 + s2 * s2
 
-        dxp = bc(xy[..., 0]) - px[:, None, :]
+        dxp = bc(cx) - px[:, None, :]
         if settings.dxp_wrap_period:
             # circular pano: pixel distance wraps at the phi = +-pi seam
             Wf = settings.dxp_wrap_period
             dxp = dxp - Wf * jnp.round(dxp * (1.0 / Wf))
-        dyp = bc(xy[..., 1]) - py[:, None, :]
+        dyp = bc(cy) - py[:, None, :]
         rho2d = FILTER_INV_SQUARE * (dxp * dxp + dyp * dyp)
         use3d = rho3d <= rho2d
         rho = jnp.minimum(rho3d, rho2d)

@@ -46,11 +46,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gslidar_tpu.raster.pallas_fwd import (CHUNK, D_PAD, _prefix_mul,
-                                           _prefix_sum, step_layout)
+                                           _prefix_sum, center_from_pcam,
+                                           step_layout)
 from gslidar_tpu.raster.settings import (ALPHA_EPS, FILTER_INV_SQUARE,
                                          MAX_ALPHA, RasterSettings, T_STOP)
 
-_F_CX, _F_CY, _F_RC, _F_N0, _F_OPA, _F_COL = 9, 10, 11, 12, 15, 16
+_F_N0, _F_OPA, _F_COL = 9, 12, 13
 
 
 def _bwd_kernel(chunk_tile_ref, step_starts_ref, tile_starts_ref, row0_ref,
@@ -119,8 +120,9 @@ def _bwd_kernel(chunk_tile_ref, step_starts_ref, tile_starts_ref, row0_ref,
         Tux, Tuy, Tuz = row(0), row(1), row(2)
         Tvx, Tvy, Tvz = row(3), row(4), row(5)
         Twx, Twy, Twz = row(6), row(7), row(8)
-        cx, cy = row(_F_CX), row(_F_CY)
-        r_c = row(_F_RC)
+        # same recompute (and op order) as the forward kernel: the alpha /
+        # transmittance reconstruction below must see bitwise-equal rho2d
+        cx, cy, r_c = center_from_pcam(Tuz, Tvz, Twz, params_ref, H, W)
         opa = row(_F_OPA)
 
         # ---- recompute the forward per-instance quantities --------------
@@ -319,10 +321,35 @@ def _bwd_kernel(chunk_tile_ref, step_starts_ref, tile_starts_ref, row0_ref,
         def red(x):
             return jnp.sum(x, axis=1, keepdims=True)       # [CHUNK, 1]
 
-        cols = [red(gTux), red(gTuy), red(gTuz),
-                red(gTvx), red(gTvy), red(gTvz),
-                red(gTwx), red(gTwy), red(gTwz),
-                red(gcx), red(gcy), red(g_rc)]
+        # chain the (reduced) center pixel/range gradients into the p_cam
+        # T-columns through the spherical Jacobian — the reference does
+        # the identical fold before its preprocess backward reads dL_dT
+        # (backward.cu:578-595 for dL_dmean2D, :505-508 for the 2d-branch
+        # depth term dL_dr * p_cam / r). Guarded like center_from_pcam:
+        # degenerate lanes (center at the camera origin) are depth-culled,
+        # so their gcx/gcy/g_rc are zero and only need finite factors.
+        gxi, gyi, gri = red(gcx), red(gcy), red(g_rc)      # [CHUNK, 1]
+        u_p, v_p, w_p = Tuz, Tvz, Twz
+        degen = (u_p * u_p + w_p * w_p) < 1e-20
+        u_s = jnp.where(degen, 0.0, u_p)
+        w_s = jnp.where(degen, 1.0, w_p)
+        ruw2 = u_s * u_s + w_s * w_s
+        ruw = jnp.sqrt(ruw2)
+        q = ruw2 + v_p * v_p                               # = r^2
+        inv_ruw2 = 1.0 / ruw2
+        inv_rq = 1.0 / (ruw * q)
+        inv_r = 1.0 / jnp.sqrt(u_p * u_p + v_p * v_p + w_p * w_p + 1e-24)
+        kx = jnp.float32(W) / (params_ref[5] - params_ref[4])
+        ky = jnp.float32(H) / (params_ref[3] - params_ref[2])
+        gU_c = (gxi * (kx * w_s * inv_ruw2)
+                - gyi * (ky * u_s * v_p * inv_rq) + gri * (u_p * inv_r))
+        gV_c = gyi * (ky * ruw / q) + gri * (v_p * inv_r)
+        gW_c = (-gxi * (kx * u_s * inv_ruw2)
+                - gyi * (ky * v_p * w_s * inv_rq) + gri * (w_p * inv_r))
+
+        cols = [red(gTux), red(gTuy), red(gTuz) + gU_c,
+                red(gTvx), red(gTvy), red(gTvz) + gV_c,
+                red(gTwx), red(gTwy), red(gTwz) + gW_c]
         # normal grads: w * gN reduced
         for ni in range(3):
             cols.append(red(w * gF_ref[0, S + ni]))

@@ -32,7 +32,9 @@ Data layout: one post-sort row gather lands the per-gaussian payload in
 instance order (binning.py), and the chunk table is one streaming
 transpose [K, D] -> [K/CHUNK, D_PAD, CHUNK] (fields on sublanes,
 instances on lanes) so a block fetch is aligned rows with no in-kernel
-transposes.
+transposes. The payload is slim: the splat center's pixel coordinates
+and range are recomputed per instance from the p_cam triple in the T
+columns (see PAYLOAD_BASE), not gathered.
 """
 
 from __future__ import annotations
@@ -51,25 +53,81 @@ from gslidar_tpu.raster.settings import (ALPHA_EPS, FAR_N, FILTER_INV_SQUARE,
                                          T_STOP)
 
 CHUNK = 128          # instances per grid step (= lane width)
-D_PAD = 24           # padded field count (D = 20 + C + S; 24 for C=4, S=4)
+D_PAD = 24           # padded field count (D = 13 + C + S; pads to the f32
+                     # sublane granule; 21 -> 24 for C=4, S=4)
 
-# field indices in the packed row (see pack_payload)
-_F_CX = 9
-_F_CY = 10
-_F_RC = 11
-_F_N0 = 12           # 12..14 normal
-_F_OPA = 15
-_F_COL = 16          # 16..16+C colors, then S features
+# field indices in the packed row (see pack_payload). The splat center's
+# pixel coordinates and range are NOT stored: every compositor recomputes
+# them from the p_cam triple already present in the T columns (rows 2/5/8)
+# — two atan2 + one rsqrt per INSTANCE, amortized over the tile's pixels —
+# which deletes three K-row gather columns from binning (engine price
+# ~0.45 ms per f32 column per M rows, see binning.py's cost model) and
+# three columns of ICI traffic from the gaussian-sharded exchange.
+PAYLOAD_BASE = 13    # 9 T + 3 normal + 1 opacity
+_F_N0 = 9            # 9..11 normal
+_F_OPA = 12
+_F_COL = 13          # 13..13+C colors, then S features
 
 
 def pack_payload(prep, opacity, features):
-    """[P, 20 + C + S] per-gaussian payload rows for the binning sort.
+    """[P, 13 + C + S] per-gaussian payload rows for the binning sort.
 
     Columns of T are component triples (forward.cu:385-387)."""
     Tcols = prep.T.transpose(0, 2, 1).reshape(-1, 9)
     return jnp.concatenate([
-        Tcols, prep.xy, prep.depth[:, None], prep.normal,
+        Tcols, prep.normal,
         opacity[:, None], prep.color, features], axis=1)
+
+
+_PI = 3.14159265358979323846
+
+
+def _atan(x):
+    """Cephes atanf: two-stage range reduction + degree-4 minimax in z=t^2
+    (~1 ulp f32). Mosaic has no atan/atan2 lowering, so the kernels carry
+    their own; branchless selects replace the Cephes branches."""
+    ax = jnp.abs(x)
+    big = ax > 2.414213562373095     # tan(3pi/8)
+    mid = ax > 0.4142135623730950    # tan(pi/8)
+    safe = jnp.where(big, ax, 1.0)
+    t = jnp.where(big, -1.0 / safe,
+                  jnp.where(mid, (ax - 1.0) / (ax + 1.0), ax))
+    off = jnp.where(big, 0.5 * _PI, jnp.where(mid, 0.25 * _PI, 0.0))
+    z = t * t
+    p = (((8.05374449538e-2 * z - 1.38776856032e-1) * z
+          + 1.99777106478e-1) * z - 3.33329491539e-1)
+    r = off + t + t * z * p
+    return jnp.where(x < 0, -r, r)
+
+
+def _atan2(y, x):
+    """atan2 from _atan with quadrant fixup. Callers guard the (0, 0)
+    pole (the center-projection degen guard routes it to atan2(0, 1))."""
+    safe_x = jnp.where(x == 0.0, 1.0, x)
+    base = _atan(y / safe_x)
+    at_pi = jnp.where(y < 0, -_PI, _PI)
+    on_axis = jnp.where(y > 0, 0.5 * _PI,
+                        jnp.where(y < 0, -0.5 * _PI, 0.0))
+    return jnp.where(x > 0, base,
+                     jnp.where(x < 0, base + at_pi, on_axis))
+
+
+def center_from_pcam(u, v, w, params_ref, H, W):
+    """(cx, cy, r_c) of the splat centers from the p_cam triple (the
+    T-column rows 2/5/8), matching preprocess.center_projection's guarded
+    formulas. Shared by the forward and backward kernels so the backward's
+    alpha/T reconstruction stays bitwise-identical."""
+    degen = (u * u + w * w) < 1e-20
+    u_s = jnp.where(degen, 0.0, u)
+    w_s = jnp.where(degen, 1.0, w)
+    phi = _atan2(u_s, w_s)
+    theta = _atan2(jnp.sqrt(u_s * u_s + w_s * w_s), -v)
+    r_c = jnp.sqrt(u * u + v * v + w * w + 1e-24)
+    VFOV_min, VFOV_max = params_ref[2], params_ref[3]
+    HFOV_min, HFOV_max = params_ref[4], params_ref[5]
+    cx = (phi - HFOV_min) * W / (HFOV_max - HFOV_min)
+    cy = (theta - VFOV_min) * H / (VFOV_max - VFOV_min)
+    return cx, cy, r_c
 
 
 def _prefix_mul(x, n):
@@ -179,8 +237,9 @@ def _kernel(chunk_tile_ref, step_starts_ref, tile_starts_ref, row0_ref,
         Tux, Tuy, Tuz = row(0), row(1), row(2)
         Tvx, Tvy, Tvz = row(3), row(4), row(5)
         Twx, Twy, Twz = row(6), row(7), row(8)
-        cx, cy = row(_F_CX), row(_F_CY)
-        r_c = row(_F_RC)
+        # center pixel/range recomputed from p_cam = (Tuz, Tvz, Twz) —
+        # not payload columns (see PAYLOAD_BASE)
+        cx, cy, r_c = center_from_pcam(Tuz, Tvz, Twz, params_ref, H, W)
         opa = row(_F_OPA)
 
         # ray-splat intersection (forward.cu:404-424): [pix, CHUNK] outer

@@ -115,13 +115,17 @@ def _edge_on_prep(P=128):
 
     # the compositors work on T's COLUMNS (component triples, the
     # pack_payload transpose): kernel (Tu, Tv, Tw) = columns of this
-    # matrix. Columns (1,0,0), (0,1e-36,1000), (0,0,5) give
+    # matrix. Rows are (u_cam, v_cam, p_cam); the center pixel/range are
+    # RECOMPUTED from p_cam, so p_cam must genuinely project into tile 0
+    # (pixel row ~4 of the 48-row, +-20 deg pano => theta ~ 1.27991 at
+    # range 5). Columns (1,0,0), (0,1e-36,p_y), (0,0,p_z) give
     # Az = 1e-36, Bz = Gz = 0 -> p3 = st*cp*1e-36 (normal, never
-    # flushed); p2 ~ -1000*st*cp -> s2 = p2/p3 = -1e39 -> -inf.
+    # flushed); s2 = p2/p3 ~ 5e36 -> rho3d = s2^2 overflows to inf and
+    # the division VJP's p3^2 underflows to a 0/0 NaN on masked lanes.
     T = np.zeros((P, 3, 3), np.float32)
-    T[0] = [[1, 0, 0], [0, 1e-36, 0], [0, 1000, 5]]
-    # ordinary splat at the same spot, slightly nearer
-    T[1] = [[0.5, 0, 0], [0, 0.5, 0], [0, 0, 4]]
+    T[0] = [[1, 0, 0], [0, 1e-36, 0], [0, -1.43365, 4.79005]]
+    # ordinary splat at the same pixel, slightly nearer (range 4)
+    T[1] = [[0.5, 0, 0], [0, 0.5, 0], [0, -1.14692, 3.83204]]
     H, W = BASE.height, BASE.width
     # center pixel inside tile 0 (rows 0-7) so the 2d branch accepts
     xy = np.tile(np.asarray([[W * 0.5, 4.0]], np.float32), (P, 1))

@@ -290,7 +290,7 @@ def test_payload_in_sort_matches_gather(rng):
                       jnp.asarray(shs), jnp.ones(128, bool), vm, cp, 3,
                       1.0, SET)
     payload = pack_payload(prep, jnp.asarray(opac), jnp.asarray(feats))
-    assert payload.shape[1] % 2 == 0          # even: packs without pad
+    assert payload.shape[1] % 2 == 1          # odd: exercises pad-and-strip
     narrow = bin_gaussians(prep.rect_min, prep.rect_max, prep.depth,
                            prep.tiles_touched, 1.0, SET, payload=payload)
     wide_set = dataclasses.replace(SET, payload_in_sort=True)
@@ -301,7 +301,7 @@ def test_payload_in_sort_matches_gather(rng):
     np.testing.assert_array_equal(np.asarray(narrow.data_rows),
                                   np.asarray(wide.data_rows))
 
-    # odd column count exercises the pad-and-strip path
+    # even column count packs into c64 operands without the pad column
     pay_odd = payload[:, :-1]
     n2 = bin_gaussians(prep.rect_min, prep.rect_max, prep.depth,
                        prep.tiles_touched, 1.0, SET, payload=pay_odd)
