@@ -40,6 +40,7 @@ columns (see PAYLOAD_BASE), not gathered.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -52,7 +53,13 @@ from gslidar_tpu.raster.settings import (ALPHA_EPS, FAR_N, FILTER_INV_SQUARE,
                                          MAX_ALPHA, NEAR_N, RasterSettings,
                                          T_STOP)
 
-CHUNK = 128          # instances per grid step (= lane width)
+# Instances per grid step (lane-width multiples). Default 128 = one lane
+# tile; GSLIDAR_CHUNK=256 halves the grid-step count (the per-step fixed
+# cost is a measurable slice of the kernel wall time at bench shapes) at
+# the price of 2x the live [CHUNK, pix] intermediates in VMEM — an
+# env-var A/B knob for measured sessions, read once at import.
+CHUNK = int(os.environ.get("GSLIDAR_CHUNK", "128"))
+assert CHUNK >= 128 and CHUNK % 128 == 0 and (CHUNK & (CHUNK - 1)) == 0
 D_PAD = 24           # padded field count (D = 13 + C + S; pads to the f32
                      # sublane granule; 21 -> 24 for C=4, S=4)
 

@@ -197,3 +197,95 @@ def test_edge_on_splat_gradients_finite_xla():
     assert np.isfinite(float(val))
     for a in g:
         assert np.isfinite(np.asarray(a)).all(), "NaN/inf leaked into grads"
+
+
+def test_polynomial_atan2_accuracy():
+    """The kernels' Cephes-style atan2 (Mosaic lowers no atan) must track
+    jnp.arctan2 to f32 precision across all quadrants, the axes, and the
+    magnitude range camera coordinates span."""
+    from gslidar_tpu.raster.pallas_fwd import _atan2
+
+    rng = np.random.default_rng(7)
+    mag = 10.0 ** rng.uniform(-6, 3, 4096)
+    ang = rng.uniform(-np.pi, np.pi, 4096)
+    y = (mag * np.sin(ang)).astype(np.float32)
+    x = (mag * np.cos(ang)).astype(np.float32)
+    # axes and exact zeros
+    y = np.concatenate([y, np.float32([0, 0, 1, -1, 0])])
+    x = np.concatenate([x, np.float32([1, -1, 0, 0, 0])])
+    got = np.asarray(_atan2(jnp.asarray(y), jnp.asarray(x)))
+    want = np.arctan2(y, x)
+    # atan2(0, -1): both pi up to sign convention; compare via wrap
+    d = np.abs(got - want)
+    d = np.minimum(d, 2 * np.pi - d)
+    assert d.max() < 3e-7, d.max()
+
+
+@pytest.mark.slow
+def test_chunk_256_interpret_parity():
+    """GSLIDAR_CHUNK=256 (the grid-step A/B knob) must reproduce the
+    default CHUNK=128 render and gradients. Runs in a subprocess because
+    CHUNK is read once at import."""
+    from conftest import run_on_cpu_mesh
+
+    code = """
+import dataclasses, functools
+import numpy as np, jax, jax.numpy as jnp
+import gslidar_tpu.raster.pallas_fwd as pf
+jax.config.update("jax_platform_name", "cpu")
+pf.pl.pallas_call = functools.partial(pf.pl.pallas_call, interpret=True)
+from gslidar_tpu.raster import RasterSettings, rasterize
+assert pf.CHUNK == 256
+rng = np.random.default_rng(3)
+P = 96
+theta = rng.uniform(np.pi/2 - 0.3, np.pi/2 + 0.3, P)
+phi = rng.uniform(-0.9, 0.9, P)
+r = rng.uniform(4, 40, P)
+means = jnp.asarray(np.stack([r*np.sin(theta)*np.sin(phi), -r*np.cos(theta),
+                              r*np.sin(theta)*np.cos(phi)], 1).astype(np.float32))
+scales = jnp.asarray(rng.uniform(0.3, 1.5, (P, 3)).astype(np.float32))
+quats = jnp.asarray(rng.normal(size=(P, 4)).astype(np.float32))
+opac = jnp.asarray(rng.uniform(0.2, 0.95, P).astype(np.float32))
+shs = jnp.asarray((rng.normal(size=(P, 16, 4)) * 0.2).astype(np.float32))
+feats = jnp.asarray(rng.normal(size=(P, 2)).astype(np.float32))
+s = RasterSettings(height=48, width=96, vfov=(-20.0, 20.0), hfov=(-60.0, 60.0),
+                   num_extra_features=2, pair_cap=1 << 13, tile_chunk=16,
+                   tile_list_cap=256, tile_h=8, tile_w=128, backend="pallas")
+
+def loss(m):
+    out = rasterize(m, scales, quats, opac, shs, feats, jnp.ones(P, bool),
+                    jnp.eye(4), jnp.zeros(3), jnp.asarray([0.0, 0, 0, 1.0]),
+                    3, 1.0, settings=s)
+    return jnp.sum(out.color ** 2) + jnp.sum(out.depth * 0.1), out
+
+(val, out), g = jax.value_and_grad(loss, has_aux=True)(means)
+np.save("/tmp/chunk_ab_color.npy", np.asarray(out.color))
+np.save("/tmp/chunk_ab_grad.npy", np.asarray(g))
+print("OK", float(val))
+"""
+    import os
+    import subprocess
+    import sys
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
+    env["JAX_PLATFORMS"] = "cpu"
+
+    env["GSLIDAR_CHUNK"] = "256"
+    r256 = subprocess.run([sys.executable, "-c", code], env=env,
+                          capture_output=True, text=True, timeout=600)
+    assert r256.returncode == 0, r256.stderr[-2000:]
+    c256 = np.load("/tmp/chunk_ab_color.npy")
+    g256 = np.load("/tmp/chunk_ab_grad.npy")
+
+    env["GSLIDAR_CHUNK"] = "128"
+    r128 = subprocess.run([sys.executable, "-c", code.replace(
+        "pf.CHUNK == 256", "pf.CHUNK == 128")], env=env,
+        capture_output=True, text=True, timeout=600)
+    assert r128.returncode == 0, r128.stderr[-2000:]
+    c128 = np.load("/tmp/chunk_ab_color.npy")
+    g128 = np.load("/tmp/chunk_ab_grad.npy")
+
+    np.testing.assert_allclose(c256, c128, atol=1e-5)
+    denom = max(float(np.abs(g128).max()), 1e-6)
+    assert float(np.abs(g256 - g128).max()) / denom < 1e-4
