@@ -117,7 +117,7 @@ def composite(binning: Binning, prep: PreprocessOut, features: jnp.ndarray,
     # The row layout is pack_payload's (single definition — composite_rows
     # decodes it by the pallas kernels' _F_* column indices).
     from gslidar_tpu.raster.pallas_fwd import pack_payload
-    packed = pack_payload(prep, opacity, features)            # [P, 13+C+S]
+    packed = pack_payload(prep, opacity, features)            # [P, 10+C+S]
     sorted_data = packed[binning.gid_sorted]                  # [K, D]
     return composite_rows(sorted_data, binning.tile_starts, C,
                           features.shape[-1], bg, scale_factor, settings,
@@ -129,10 +129,10 @@ def composite_rows(sorted_data: jnp.ndarray, tile_starts_full: jnp.ndarray,
                    settings: RasterSettings, angle_bounds=None) -> TileImages:
     """Blend instance rows already in tile-depth order.
 
-    ``sorted_data`` is [K, 13 + C + S] in the pack_payload layout (9 T
-    column-triples, normal, opacity, C colors, S features — the center
-    pixel/range are recomputed per instance from the p_cam triple in the
-    T columns, so they cost no gather/exchange width);
+    ``sorted_data`` is [K, 10 + C + S] in the pack_payload layout (9 T
+    column-triples, opacity, C colors, S features — the center
+    pixel/range and the camera-facing normal are recomputed per instance
+    from the T columns, so they cost no gather/exchange width);
     ``tile_starts_full`` is the [num_tiles + 1] range table. Used directly
     by the gaussian-sharded renderer whose instances arrive pre-routed
     (parallel/pano_shard.py) — `composite` packs and delegates here."""
@@ -165,10 +165,20 @@ def composite_rows(sorted_data: jnp.ndarray, tile_starts_full: jnp.ndarray,
         Tux, Tuy, Tuz = data[..., 0], data[..., 1], data[..., 2]
         Tvx, Tvy, Tvz = data[..., 3], data[..., 4], data[..., 5]
         Twx, Twy, Twz = data[..., 6], data[..., 7], data[..., 8]
-        nrm = data[..., 9:12]
-        opa = data[..., 12]
-        col = data[..., 13:13 + C]                                 # [t, ch, C]
-        fea = data[..., 13 + C:13 + C + S]                         # [t, ch, S]
+        opa = data[..., 9]
+        col = data[..., 10:10 + C]                                 # [t, ch, C]
+        fea = data[..., 10 + C:10 + C + S]                         # [t, ch, S]
+        # camera-facing normal recomputed as flip-signed
+        # normalize(u_cam x v_cam) — same function of (quat, scales) as
+        # build_transmat's Rw2c R[:,2] route, so autodiff model gradients
+        # agree (the reference's separate dL_dnormal route,
+        # backward.cu:600-608, composes to the same total)
+        c1 = Tvx * Twy - Twx * Tvy
+        c2 = Twx * Tuy - Tux * Twy
+        c3 = Tux * Tvy - Tvx * Tuy
+        nsign = jnp.where(c1 * Tuz + c2 * Tvz + c3 * Twz < 0, 1.0, -1.0)
+        n_si = nsign * jax.lax.rsqrt(c1 * c1 + c2 * c2 + c3 * c3 + 1e-30)
+        nrm = jnp.stack([c1 * n_si, c2 * n_si, c3 * n_si], axis=-1)
         # center pixel/range recomputed from p_cam = (Tuz, Tvz, Twz) with
         # preprocess.center_projection's guarded formulas (identical
         # values; the payload carries no xy/depth columns). Gradients

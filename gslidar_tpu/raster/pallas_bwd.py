@@ -47,11 +47,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gslidar_tpu.raster.pallas_fwd import (CHUNK, D_PAD, _prefix_mul,
                                            _prefix_sum, center_from_pcam,
-                                           step_layout)
+                                           normal_from_T, step_layout)
 from gslidar_tpu.raster.settings import (ALPHA_EPS, FILTER_INV_SQUARE,
                                          MAX_ALPHA, RasterSettings, T_STOP)
 
-_F_N0, _F_OPA, _F_COL = 9, 12, 13
+_F_OPA, _F_COL = 9, 10
 
 
 def _bwd_kernel(chunk_tile_ref, step_starts_ref, tile_starts_ref, row0_ref,
@@ -206,9 +206,10 @@ def _bwd_kernel(chunk_tile_ref, step_starts_ref, tile_starts_ref, row0_ref,
             Sc = colT_ref[0, ci] - P_inc
             core = core + gc * (c_val - Sc * inv_Tu)
             state_ref[4 + ci] = P_inc[CHUNK - 1:CHUNK, :]
-        for ni in range(3):
+        n1, n2, n3, _c1, _c2, _c3, inv_n, nsign = normal_from_T(
+            Tux, Tuy, Tuz, Tvx, Tvy, Tvz, Twx, Twy, Twz)
+        for ni, n_val in enumerate((n1, n2, n3)):
             gn = gF_ref[0, S + ni]
-            n_val = row(_F_N0 + ni)
             P_inc = state_ref[4 + C + ni] + _prefix_sum(w * n_val, CHUNK)
             Sn = featT_ref[0, S + ni] - P_inc
             core = core + gn * (n_val - Sn * inv_Tu)
@@ -347,12 +348,33 @@ def _bwd_kernel(chunk_tile_ref, step_starts_ref, tile_starts_ref, row0_ref,
         gW_c = (-gxi * (kx * u_s * inv_ruw2)
                 - gyi * (ky * v_p * w_s * inv_rq) + gri * (w_p * inv_r))
 
-        cols = [red(gTux), red(gTuy), red(gTuz) + gU_c,
-                red(gTvx), red(gTvy), red(gTvz) + gV_c,
-                red(gTwx), red(gTwy), red(gTwz) + gW_c]
-        # normal grads: w * gN reduced
-        for ni in range(3):
-            cols.append(red(w * gF_ref[0, S + ni]))
+        # chain the (reduced) normal cotangents through the flip-signed
+        # normalize(u_cam x v_cam) recompute into the T columns. The
+        # reference routes dL_dnormal separately into R via the world2cam
+        # transpose (compute_transmat_aabb, backward.cu:600-608) — the
+        # two routes are the same function of (quat, scales), so model
+        # gradients agree; the T-tap's p_cam ROW (the only row densify
+        # stats read) stays untouched either way.
+        gN1 = red(w * gF_ref[0, S + 0])
+        gN2 = red(w * gF_ref[0, S + 1])
+        gN3 = red(w * gF_ref[0, S + 2])
+        gdot = n1 * gN1 + n2 * gN2 + n3 * gN3
+        h_s = nsign * inv_n
+        h1 = h_s * (gN1 - n1 * gdot)
+        h2 = h_s * (gN2 - n2 * gdot)
+        h3 = h_s * (gN3 - n3 * gdot)
+        # dL/du_cam = v_cam x h -> packed cols (0, 3, 6);
+        # dL/dv_cam = h x u_cam -> packed cols (1, 4, 7)
+        gu_x = Tvy * h3 - Twy * h2
+        gu_y = Twy * h1 - Tuy * h3
+        gu_z = Tuy * h2 - Tvy * h1
+        gv_x = h2 * Twx - h3 * Tvx
+        gv_y = h3 * Tux - h1 * Twx
+        gv_z = h1 * Tvx - h2 * Tux
+
+        cols = [red(gTux) + gu_x, red(gTuy) + gv_x, red(gTuz) + gU_c,
+                red(gTvx) + gu_y, red(gTvy) + gv_y, red(gTvz) + gV_c,
+                red(gTwx) + gu_z, red(gTwy) + gv_z, red(gTwz) + gW_c]
         cols.append(red(dL_dopa_pix))
         for ci in range(C):
             cols.append(red(w * gC_ref[0, ci]))

@@ -64,26 +64,26 @@ D_PAD = 24           # padded field count (D = 13 + C + S; pads to the f32
                      # sublane granule; 21 -> 24 for C=4, S=4)
 
 # field indices in the packed row (see pack_payload). The splat center's
-# pixel coordinates and range are NOT stored: every compositor recomputes
-# them from the p_cam triple already present in the T columns (rows 2/5/8)
-# — two atan2 + one rsqrt per INSTANCE, amortized over the tile's pixels —
-# which deletes three K-row gather columns from binning (engine price
-# ~0.45 ms per f32 column per M rows, see binning.py's cost model) and
-# three columns of ICI traffic from the gaussian-sharded exchange.
-PAYLOAD_BASE = 13    # 9 T + 3 normal + 1 opacity
-_F_N0 = 9            # 9..11 normal
-_F_OPA = 12
-_F_COL = 13          # 13..13+C colors, then S features
+# pixel coordinates/range AND the camera-facing normal are NOT stored:
+# every compositor recomputes them from the T columns — the center from
+# the p_cam triple (rows 2/5/8, two atan2 + one rsqrt per INSTANCE) and
+# the normal as flip-signed normalize(u_cam x v_cam) (9 mul + rsqrt per
+# instance), all amortized over the tile's pixels — which deletes six
+# K-row gather columns from binning (engine price ~0.45 ms per f32
+# column per M rows, see binning.py's cost model) and five net columns
+# of ICI traffic from the gaussian-sharded exchange.
+PAYLOAD_BASE = 10    # 9 T + 1 opacity
+_F_OPA = 9
+_F_COL = 10          # 10..10+C colors, then S features
 
 
 def pack_payload(prep, opacity, features):
-    """[P, 13 + C + S] per-gaussian payload rows for the binning sort.
+    """[P, 10 + C + S] per-gaussian payload rows for the binning sort.
 
     Columns of T are component triples (forward.cu:385-387)."""
     Tcols = prep.T.transpose(0, 2, 1).reshape(-1, 9)
     return jnp.concatenate([
-        Tcols, prep.normal,
-        opacity[:, None], prep.color, features], axis=1)
+        Tcols, opacity[:, None], prep.color, features], axis=1)
 
 
 _PI = 3.14159265358979323846
@@ -117,6 +117,25 @@ def _atan2(y, x):
                         jnp.where(y < 0, -0.5 * _PI, 0.0))
     return jnp.where(x > 0, base,
                      jnp.where(x < 0, base + at_pi, on_axis))
+
+
+def normal_from_T(Tux, Tuy, Tuz, Tvx, Tvy, Tvz, Twx, Twy, Twz):
+    """Camera-facing splat normal from the T columns: flip-signed
+    normalize(u_cam x v_cam) with u_cam = (Tux, Tvx, Twx), v_cam =
+    (Tuy, Tvy, Twy). Equals build_transmat's normal (Rw2c R[:,2] with the
+    dual-visible flip, forward.cu:108-112) because scales are positive
+    and rotations orthonormal; fp differences are transcendental-ulp.
+    Returns (n1, n2, n3, c1, c2, c3, inv_n, sign) — the raw cross, its
+    inverse norm, and the flip sign feed the backward chain. The 1e-30
+    guard only engages for |u x v| below any physical splat area."""
+    c1 = Tvx * Twy - Twx * Tvy
+    c2 = Twx * Tuy - Tux * Twy
+    c3 = Tux * Tvy - Tvx * Tuy
+    dot = c1 * Tuz + c2 * Tvz + c3 * Twz
+    sign = jnp.where(dot < 0, 1.0, -1.0)
+    inv_n = jax.lax.rsqrt(c1 * c1 + c2 * c2 + c3 * c3 + 1e-30)
+    si = sign * inv_n
+    return c1 * si, c2 * si, c3 * si, c1, c2, c3, inv_n, sign
 
 
 def center_from_pcam(u, v, w, params_ref, H, W):
@@ -313,6 +332,8 @@ def _kernel(chunk_tile_ref, step_starts_ref, tile_starts_ref, row0_ref,
         accept = ok & (test_T >= T_STOP)
         w = jnp.where(accept, a * T_before, 0.0)
 
+        nrm = normal_from_T(Tux, Tuy, Tuz, Tvx, Tvy, Tvz,
+                            Twx, Twy, Twz)[:3]
         for ci in range(C):
             state_ref[11 + ci] = state_ref[11 + ci] + jnp.sum(
                 w * row(_F_COL + ci), axis=0, keepdims=True)
@@ -321,7 +342,7 @@ def _kernel(chunk_tile_ref, step_starts_ref, tile_starts_ref, row0_ref,
                 w * row(_F_COL + C + si), axis=0, keepdims=True)
         for ni in range(3):
             state_ref[11 + C + S + ni] = state_ref[11 + C + S + ni] + jnp.sum(
-                w * row(_F_N0 + ni), axis=0, keepdims=True)
+                w * nrm[ni], axis=0, keepdims=True)
 
         state_ref[1] = state_ref[1] + jnp.sum(d_safe * w, 0, keepdims=True)
         state_ref[2] = state_ref[2] + jnp.sum(d_safe * d_safe * w, 0,

@@ -290,7 +290,8 @@ def test_payload_in_sort_matches_gather(rng):
                       jnp.asarray(shs), jnp.ones(128, bool), vm, cp, 3,
                       1.0, SET)
     payload = pack_payload(prep, jnp.asarray(opac), jnp.asarray(feats))
-    assert payload.shape[1] % 2 == 1          # odd: exercises pad-and-strip
+    # the two widths below differ in parity, so one of them always
+    # exercises the c64 pad-and-strip path regardless of the layout
     narrow = bin_gaussians(prep.rect_min, prep.rect_max, prep.depth,
                            prep.tiles_touched, 1.0, SET, payload=payload)
     wide_set = dataclasses.replace(SET, payload_in_sort=True)
@@ -301,7 +302,7 @@ def test_payload_in_sort_matches_gather(rng):
     np.testing.assert_array_equal(np.asarray(narrow.data_rows),
                                   np.asarray(wide.data_rows))
 
-    # even column count packs into c64 operands without the pad column
+    # the complementary parity
     pay_odd = payload[:, :-1]
     n2 = bin_gaussians(prep.rect_min, prep.rect_max, prep.depth,
                        prep.tiles_touched, 1.0, SET, payload=pay_odd)
