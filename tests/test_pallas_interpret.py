@@ -289,3 +289,35 @@ print("OK", float(val))
     np.testing.assert_allclose(c256, c128, atol=1e-5)
     denom = max(float(np.abs(g128).max()), 1e-6)
     assert float(np.abs(g256 - g128).max()) / denom < 1e-4
+
+
+def test_kernels_lower_for_tpu_without_a_chip():
+    """Cross-platform AOT lowering runs the full Mosaic jaxpr->TPU-dialect
+    pass (unsupported primitives raise NotImplementedError here — e.g. a
+    raw jnp.arctan2 in a kernel), so kernel edits get chip-free coverage
+    of Mosaic OP SUPPORT, complementing the interpret tests that cover
+    only the math. Machine-code compilation still needs hardware."""
+    sc = _scene(np.random.default_rng(11))
+    s = dataclasses.replace(BASE, backend="pallas")
+
+    def fwd(means):
+        out = rasterize(means, sc["scales"], sc["quats"], sc["opac"],
+                        sc["shs"], sc["feats"], sc["mask"], jnp.eye(4),
+                        jnp.zeros(3), jnp.asarray([0.0, 0, 0, 1.0]), 3,
+                        1.0, settings=s)
+        return out.color
+
+    def fwdbwd(means):
+        def loss(m):
+            out = rasterize(m, sc["scales"], sc["quats"], sc["opac"],
+                            sc["shs"], sc["feats"], sc["mask"], jnp.eye(4),
+                            jnp.zeros(3), jnp.asarray([0.0, 0, 0, 1.0]), 3,
+                            1.0, settings=s)
+            return (jnp.sum(out.color ** 2) + jnp.sum(out.depth * 0.1)
+                    + jnp.sum(out.feature * 0.05))
+        return jax.grad(loss)(means)
+
+    for f in (fwd, fwdbwd):
+        txt = jax.jit(f).trace(sc["means"]).lower(
+            lowering_platforms=("tpu",)).as_text()
+        assert "tpu_custom_call" in txt
