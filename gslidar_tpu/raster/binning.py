@@ -37,7 +37,16 @@ K=2.26M; scripts/microbench_segbcast.py, scripts/microbench_dma_gather.py)
     D<=32 — descriptor issue rate is the bottleneck, and Mosaic also
     requires 128-lane-aligned row slices (so the table must be padded
     [P, 128], 5x the traffic). The XLA gather IS the engine floor:
-    ~7.6 ms + ~0.45 ms/f32-column per M rows.
+    ~7.6 ms + ~0.45 ms/f32-column per M rows;
+  * (late round 3) replacing the word gather with packed scatter+cumsum
+    segment broadcasts of (gid|rw) and (rmin|dq): the runtime math only
+    breaks even (scatter-ADD is 8.7 ms/M updates, and the within-segment
+    index then needs a third broadcast for offsets), and the COMPILE
+    costs are prohibitive without a persistent cache — measured on this
+    relay: associative_scan(max) at P=1M compiles in 55 s, at K=2.26M in
+    66 s lower + 282 s compile, and a 2-tuple-combine scan at P=1M never
+    finished (>9 min). cumsum/scatter compile fast (~17 s); any design
+    needing a NEW large associative_scan per shape is dead on arrival.
 
 IMPLEMENTED from that cost model (re-measure on a chip): the payload
 carries no xy / r_c columns — every compositor recomputes them from

@@ -17,7 +17,15 @@ distortion moments M1/M2, and the accepted-weight total):
   TOT_abT = gDist * (M2_tot * W_tot + A_fin * M2_tot - 2 * M1_tot^2);
 * transmittance T_k is reconstructed by the SAME forward prefix products
   as the forward kernel — bitwise-identical rounding, no log-space
-  approximation.
+  approximation;
+* because every output's cotangent is CONSTANT over a tile, the sum over
+  outputs commutes with the prefix sums: all of the above collapse into
+  ONE running prefix q_k = sum_outputs g * x_k (see the core comment in
+  the kernel) — one prefix-sum ladder and one carry row instead of
+  C + 3 + 2 + 1 of each;
+* per-instance pixel reductions ride the MXU: red(coef * (V x dp)) =
+  V x red(coef * dp) turns the nine dL/dT reductions into three
+  512-deep matmuls, and the channel cotangent rows into one more.
 
 Forward-walking makes the gradient table write trivially race-free: the
 step -> data-row map is globally non-decreasing, so all steps touching
@@ -45,9 +53,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gslidar_tpu.raster.pallas_fwd import (CHUNK, D_PAD, _prefix_mul,
-                                           _prefix_sum, center_from_pcam,
-                                           normal_from_T, step_layout)
+from gslidar_tpu.raster.pallas_fwd import (CHUNK, D_PAD, _excl_of,
+                                           _prefix_mul, _prefix_sum,
+                                           center_from_pcam, normal_from_T,
+                                           step_layout)
 from gslidar_tpu.raster.settings import (ALPHA_EPS, FILTER_INV_SQUARE,
                                          MAX_ALPHA, RasterSettings, T_STOP)
 
@@ -69,8 +78,8 @@ def _bwd_kernel(chunk_tile_ref, step_starts_ref, tile_starts_ref, row0_ref,
     ts = jnp.minimum(t, n_tiles - 1)
     th, tw = settings.tile_h, settings.tile_w
     pix = th * tw
-    # state rows: 0 T_carry, 1 PabT, 2 Pd, 3 Pd2, 4.. Pc[C], 4+C.. Pn[3]
-    NSB = 4 + C + 3
+    # state rows: 0 T_carry, 1 Pq (the single collapsed prefix carry)
+    NSB = 2
 
     near = params_ref[0]
     far = params_ref[1]
@@ -112,24 +121,22 @@ def _bwd_kernel(chunk_tile_ref, step_starts_ref, tile_starts_ref, row0_ref,
 
     @pl.when(active)
     def _():
-        data = chunk_ref[0].T                  # [CHUNK, D_PAD]
+        data = chunk_ref[0]                    # [D_PAD, CHUNK]
 
-        def row(f):
-            return data[:, f:f + 1]            # [CHUNK, 1]
+        def rowl(f):
+            return data[f:f + 1, :]            # [1, CHUNK]
 
-        Tux, Tuy, Tuz = row(0), row(1), row(2)
-        Tvx, Tvy, Tvz = row(3), row(4), row(5)
-        Twx, Twy, Twz = row(6), row(7), row(8)
-        # same recompute (and op order) as the forward kernel: the alpha /
-        # transmittance reconstruction below must see bitwise-equal rho2d
-        cx, cy, r_c = center_from_pcam(Tuz, Tvz, Twz, params_ref, H, W)
-        opa = row(_F_OPA)
-
-        # ---- recompute the forward per-instance quantities --------------
-        # linear intersection form, SAME op order as pallas_fwd.py (the
-        # T reconstruction below depends on reproducing the forward's
-        # alpha rounding bitwise): p = ca*(Tu x Tv) + ct*(Tu x Tw)
-        # + cg*(Tw x Tv), ca = st*cp, cg = -st*sp
+        # ---- per-instance recompute on the LANE axis ---------------------
+        # Identical expressions (and op order) to the forward kernel: the
+        # alpha / transmittance reconstruction below must see bitwise-equal
+        # rho2d / rho3d / depth.
+        Tux, Tuy, Tuz = rowl(0), rowl(1), rowl(2)
+        Tvx, Tvy, Tvz = rowl(3), rowl(4), rowl(5)
+        Twx, Twy, Twz = rowl(6), rowl(7), rowl(8)
+        cx_l, cy_l, r_c_l = center_from_pcam(Tuz, Tvz, Twz, params_ref, H, W)
+        # per-instance seam wrap around the tile center (see pallas_fwd)
+        tcx = (tx * tw).astype(jnp.float32) + 0.5 * (tw - 1)
+        cx_l = cx_l - params_ref[6] * jnp.round((cx_l - tcx) * params_ref[7])
         Ax = Tuy * Tvz - Tuz * Tvy
         Ay = Tuz * Tvx - Tux * Tvz
         Az = Tux * Tvy - Tuy * Tvx
@@ -139,35 +146,41 @@ def _bwd_kernel(chunk_tile_ref, step_starts_ref, tile_starts_ref, row0_ref,
         Gx = Twy * Tvz - Twz * Tvy
         Gy = Twz * Tvx - Twx * Tvz
         Gz = Twx * Tvy - Twy * Tvx
+        n1, n2, n3, c1, c2, c3, inv_n, nsign = normal_from_T(
+            Tux, Tuy, Tuz, Tvx, Tvy, Tvz, Twx, Twy, Twz)
+        npc_l = c1 * Tuz + c2 * Tvz + c3 * Twz
+        inst_rows = jnp.concatenate(
+            [Ax, Ay, Az, Bx, By, Bz, Gx, Gy, Gz,
+             npc_l, cx_l, cy_l, r_c_l, rowl(_F_OPA),
+             jnp.zeros((2, CHUNK), jnp.float32)], axis=0)  # [16, CHUNK]
+        im = inst_rows.T
+
+        def col(f):
+            return im[:, f:f + 1]              # [CHUNK, 1]
+
+        # ---- pixel-axis recompute (bitwise-equal to pallas_fwd) ----------
         ca = st * cp
         cg = -(st * sp)
-        p1 = ca * Ax + ct * Bx + cg * Gx
-        p2 = ca * Ay + ct * By + cg * Gy
-        p3 = ca * Az + ct * Bz + cg * Gz
+        p1 = ca * col(0) + ct * col(3) + cg * col(6)
+        p2 = ca * col(1) + ct * col(4) + cg * col(7)
+        p3 = ca * col(2) + ct * col(5) + cg * col(8)
         p3ok = p3 != 0.0
         p3s = jnp.where(p3ok, p3, 1.0)
-        # same reciprocal-multiply op order as pallas_fwd (bitwise T)
         rp3 = 1.0 / p3s
         s1 = p1 * rp3
         s2 = p2 * rp3
         rho3d = s1 * s1 + s2 * s2
-        dxp = cx - px
-        # circular-pano wrap, same as the forward (params[6]/[7] = W, 1/W)
-        dxp = dxp - params_ref[6] * jnp.round(dxp * params_ref[7])
-        dyp = cy - py
+        dxp = col(10) - px
+        dyp = col(11) - py
         rho2d = FILTER_INV_SQUARE * (dxp * dxp + dyp * dyp)
         use3d = rho3d <= rho2d
         rho = jnp.minimum(rho3d, rho2d)
-        sTu = s1 * Tux + s2 * Tuy + Tuz
-        sTv = s1 * Tvx + s2 * Tvy + Tvz
-        sTw = s1 * Twx + s2 * Twy + Twz
-        depth3d = sTu * st * sp - sTv * ct + sTw * st * cp
-        depth = jnp.where(use3d, depth3d, r_c)
+        depth = jnp.where(use3d, col(9) * rp3, col(12))
         G = jnp.exp(-0.5 * rho)
-        alpha_raw = opa * G
+        alpha_raw = col(13) * G
         alpha = jnp.minimum(MAX_ALPHA, alpha_raw)
-        inst = jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 0)
-        slot = slot0 + inst
+        iota_s = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+        slot = slot0 + iota_s                  # [CHUNK, 1]
         in_cnt = (slot >= start) & (slot < end)
         ok = (in_cnt & p3ok & (depth >= near) & (depth <= far)
               & (alpha >= ALPHA_EPS))
@@ -175,14 +188,12 @@ def _bwd_kernel(chunk_tile_ref, step_starts_ref, tile_starts_ref, row0_ref,
         d_safe = jnp.where(ok, depth, far)
         u = 1.0 - a
 
-        # exact forward transmittance reconstruction (prefix products,
-        # identical rounding to pallas_fwd)
         incl = _prefix_mul(u, CHUNK)
-        T_k = T_carry * (incl / u)             # exclusive prefix * carry
+        T_k = T_carry * _excl_of(incl, iota_s)
         test_T = T_k * u
         accept = ok & (test_T >= T_STOP)
         w = jnp.where(accept, a * T_k, 0.0)
-        inv_Tu = jnp.where(accept, 1.0 / (T_k * u), 0.0)
+        inv_Tu = jnp.where(accept, 1.0 / test_T, 0.0)
 
         # ---- totals & cotangents (per pixel rows) ------------------------
         T_fin = misc_ref[0, 0]
@@ -196,49 +207,52 @@ def _bwd_kernel(chunk_tile_ref, step_starts_ref, tile_starts_ref, row0_ref,
         gDist = gD4_ref[0, 2]
         gD2 = gD4_ref[0, 3]
 
-        # ---- core = sum over outputs of g * (x_k - suffix * inv_Tu) -----
-        core = jnp.zeros_like(a)
-
+        # ---- core = q - (qtot - prefix(w*q)) * inv_Tu --------------------
+        # Every CUDA back-to-front recurrence is sum_outputs g*(x_k -
+        # S_k*inv_Tu) with S_k = X_tot - prefix_k(w*x). Because the
+        # cotangents g are constant over a tile, the sum over outputs
+        # commutes with the prefix: defining q_k = sum_g g*x_k and
+        # qtot = sum_g g*X_tot, ONE prefix sum of w*q replaces the
+        # per-channel prefix sums (C+3 channels + depth + d^2 + the
+        # distortion chain), and ONE carry row replaces their carries.
+        # The per-instance channels (colors, normals) enter q through one
+        # MXU matmul against their cotangent rows.
+        cf = jnp.concatenate(
+            [rowl(_F_COL + ci) for ci in range(C)]
+            + [n1, n2, n3], axis=0)                        # [C+3, CHUNK]
+        gcn = jnp.concatenate(
+            [gC_ref[0, ci] for ci in range(C)]
+            + [gF_ref[0, S + ni] for ni in range(3)], axis=0)   # [C+3, pix]
+        q = jax.lax.dot_general(
+            cf, gcn, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)           # [CHUNK, pix]
+        q = q + gD * d_safe + gD2 * (d_safe * d_safe)
+        qtot = jnp.zeros((1, pix), jnp.float32)
         for ci in range(C):
-            gc = gC_ref[0, ci]
-            c_val = row(_F_COL + ci)
-            P_inc = state_ref[4 + ci] + _prefix_sum(w * c_val, CHUNK)
-            Sc = colT_ref[0, ci] - P_inc
-            core = core + gc * (c_val - Sc * inv_Tu)
-            state_ref[4 + ci] = P_inc[CHUNK - 1:CHUNK, :]
-        n1, n2, n3, _c1, _c2, _c3, inv_n, nsign = normal_from_T(
-            Tux, Tuy, Tuz, Tvx, Tvy, Tvz, Twx, Twy, Twz)
-        for ni, n_val in enumerate((n1, n2, n3)):
-            gn = gF_ref[0, S + ni]
-            P_inc = state_ref[4 + C + ni] + _prefix_sum(w * n_val, CHUNK)
-            Sn = featT_ref[0, S + ni] - P_inc
-            core = core + gn * (n_val - Sn * inv_Tu)
-            state_ref[4 + C + ni] = P_inc[CHUNK - 1:CHUNK, :]
-        P_inc = state_ref[2] + _prefix_sum(w * d_safe, CHUNK)
-        Sd = depT_ref[0, 0] - P_inc
-        core = core + gD * (d_safe - Sd * inv_Tu)
-        state_ref[2] = P_inc[CHUNK - 1:CHUNK, :]
-        P_inc = state_ref[3] + _prefix_sum(w * d_safe * d_safe, CHUNK)
-        Sd2 = depT_ref[0, 3] - P_inc
-        core = core + gD2 * (d_safe * d_safe - Sd2 * inv_Tu)
-        state_ref[3] = P_inc[CHUNK - 1:CHUNK, :]
+            qtot = qtot + gC_ref[0, ci] * colT_ref[0, ci]
+        for ni in range(3):
+            qtot = qtot + gF_ref[0, S + ni] * featT_ref[0, S + ni]
+        qtot = qtot + gD * depT_ref[0, 0] + gD2 * depT_ref[0, 3]
 
         # distortion (backward.cu:372-380): b_k from totals; the last_dL_dT
-        # chain X_{k+1} = SabT_k * inv(T_k u_k), SabT_k = TOT_abT - prefix.
-        # Statically gated on compute_distortion to match the forward's
-        # zeroed dist/M1/M2 outputs — otherwise a (bogus) cotangent on the
-        # zero distortion channel would emit b = gDist*m^2*A_fin gradients.
+        # chain X_{k+1} = SabT_k * inv(T_k u_k), SabT_k = TOT_abT - prefix,
+        # folds into the same q/qtot pair. Statically gated on
+        # compute_distortion to match the forward's zeroed dist/M1/M2
+        # outputs — otherwise a (bogus) cotangent on the zero distortion
+        # channel would emit b = gDist*m^2*A_fin gradients.
         if settings.compute_distortion:
             m = far / (far - near) * (1.0 - near / d_safe)
             A_fin = 1.0 - T_fin
             b = gDist * (M2_tot + m * m * A_fin - 2.0 * m * M1_tot)
             TOT_abT = gDist * (M2_tot * W_tot + A_fin * M2_tot
                                - 2.0 * M1_tot * M1_tot)
-            P_inc = state_ref[1] + _prefix_sum(jnp.where(accept, w * b, 0.0),
-                                               CHUNK)
-            SabT = TOT_abT - P_inc
-            core = core + (b - SabT * inv_Tu)
-            state_ref[1] = P_inc[CHUNK - 1:CHUNK, :]
+            q = q + b
+            qtot = qtot + TOT_abT
+
+        Pq = state_ref[1] + _prefix_sum(w * q, CHUNK)
+        core = q - (qtot - Pq) * inv_Tu
+        state_ref[1] = Pq[CHUNK - 1:CHUNK, :]
 
         # the T_fin path applies to every OK instance (T keeps decaying
         # past the 1e-4 floor in the forward), not only accepted ones
@@ -247,7 +261,7 @@ def _bwd_kernel(chunk_tile_ref, step_starts_ref, tile_starts_ref, row0_ref,
             - gTfin * jnp.where(ok, T_fin / u_ok, 0.0)
 
         # ---- depth cotangent per instance -------------------------------
-        pos1 = (slot - start + 1).astype(jnp.float32)
+        pos1 = (slot - start + 1).astype(jnp.float32)      # [CHUNK, 1]
         med_hit = accept & (pos1 == med_pos)
         dL_dd = (w * (gD + 2.0 * d_safe * gD2)
                  + jnp.where(med_hit, gMed, 0.0))
@@ -258,12 +272,12 @@ def _bwd_kernel(chunk_tile_ref, step_starts_ref, tile_starts_ref, row0_ref,
 
         # ---- chain alpha -> G/opa, rho, geometry ------------------------
         clamp_ok = alpha_raw < MAX_ALPHA
-        dL_dG = jnp.where(clamp_ok, opa * dL_da, 0.0)
+        dL_dG = jnp.where(clamp_ok, col(13) * dL_da, 0.0)
         dL_dopa_pix = jnp.where(clamp_ok, G * dL_da, 0.0)
         dL_drho = -0.5 * G * dL_dG
 
-        # 3d branch: rho3d + exact depth. s1/s2/rp3 can be inf or NaN on
-        # lanes with |p3| in the subnormal range (the reciprocal
+        # 3d branch: rho3d + exact depth npc*rp3. s1/s2/rp3 can be inf or
+        # NaN on lanes with |p3| in the subnormal range (the reciprocal
         # overflows); those lanes are never accepted into the 3d branch
         # (rho3d is inf/NaN there), but multiply-masking alone would
         # still produce 0 * inf = NaN and poison the per-instance
@@ -279,48 +293,93 @@ def _bwd_kernel(chunk_tile_ref, step_starts_ref, tile_starts_ref, row0_ref,
         s1g = jnp.where(u3, s1, 0.0)
         s2g = jnp.where(u3, s2, 0.0)
         rp3g = jnp.where(u3, rp3, 0.0)
-        dL_ds1 = (dr3 * 2.0 * s1g
-                  + dd3 * (Tux * st * sp - Tvx * ct + Twx * st * cp))
-        dL_ds2 = (dr3 * 2.0 * s2g
-                  + dd3 * (Tuy * st * sp - Tvy * ct + Twy * st * cp))
+        dL_ds1 = dr3 * 2.0 * s1g
+        dL_ds2 = dr3 * 2.0 * s2g
         dp1 = dL_ds1 * rp3g
         dp2 = dL_ds2 * rp3g
-        dp3 = -(dL_ds1 * s1g + dL_ds2 * s2g) * rp3g
-        # dL/dT through the linear form (for c = u x v: dL/du = v x g,
-        # dL/dv = g x u with g = dL/dc):
-        #   gTu = ca*(Tv x dp) + ct*(Tw x dp)
-        #   gTv = ca*(dp x Tu) - cg*(Tw x dp)
-        #   gTw = ct*(dp x Tu) + cg*(Tv x dp)
-        X1x = Tvy * dp3 - Tvz * dp2            # Tv x dp
-        X1y = Tvz * dp1 - Tvx * dp3
-        X1z = Tvx * dp2 - Tvy * dp1
-        X2x = Twy * dp3 - Twz * dp2            # Tw x dp
-        X2y = Twz * dp1 - Twx * dp3
-        X2z = Twx * dp2 - Twy * dp1
-        Y1x = dp2 * Tuz - dp3 * Tuy            # dp x Tu
-        Y1y = dp3 * Tux - dp1 * Tuz
-        Y1z = dp1 * Tuy - dp2 * Tux
-
-        gTux = ca * X1x + ct * X2x + dd3 * s1g * st * sp
-        gTuy = ca * X1y + ct * X2y + dd3 * s2g * st * sp
-        gTuz = ca * X1z + ct * X2z + dd3 * st * sp
-        gTvx = ca * Y1x - cg * X2x - dd3 * s1g * ct
-        gTvy = ca * Y1y - cg * X2y - dd3 * s2g * ct
-        gTvz = ca * Y1z - cg * X2z - dd3 * ct
-        gTwx = ct * Y1x + cg * X1x + dd3 * s1g * st * cp
-        gTwy = ct * Y1y + cg * X1y + dd3 * s2g * st * cp
-        gTwz = ct * Y1z + cg * X1z + dd3 * st * cp
+        # depth = npc * rp3 routes dL_dd into p3 and (per instance) npc
+        dp3 = (-(dL_ds1 * s1g + dL_ds2 * s2g) * rp3g
+               - dd3 * (col(9) * rp3g) * rp3g)
+        dnpc_pix = dd3 * rp3g
 
         # 2d branch: low-pass position + center-range depth
         u2 = accept & jnp.logical_not(use3d)
         drho2 = jnp.where(u2, dL_drho, 0.0)
-        gcx = drho2 * 2.0 * FILTER_INV_SQUARE * dxp
-        gcy = drho2 * 2.0 * FILTER_INV_SQUARE * dyp
         g_rc = jnp.where(u2, dL_dd, 0.0)
 
-        # ---- per-instance reductions over pixels (lane axis) ------------
-        def red(x):
+        # ---- per-instance reductions over the pixel (lane) axis ----------
+        # Instead of reducing each [CHUNK, pix] gradient matrix, exploit
+        # bilinearity: red(coef * (V x dp)) = V x red(coef * dp) for the
+        # per-instance vectors V, so only the NINE basis reductions
+        # R[coef][dp] (coef in {ca, ct, cg}) are needed — three MXU
+        # matmuls with a 512-deep contraction — and the dL/dT assembly
+        # happens per instance on the lane axis. The w-weighted channel
+        # cotangent rows ride one more matmul, and the 2d-branch center
+        # reductions factor the same way through dxp = cx - px.
+        def pixred(lhs, rhs):
+            return jax.lax.dot_general(
+                lhs, rhs, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)       # [CHUNK, nR]
+
+        coefs = jnp.concatenate([ca, ct, cg], axis=0)      # [3, pix]
+        R1 = pixred(dp1, coefs)                            # [CHUNK, 3]
+        R2 = pixred(dp2, coefs)
+        R3 = pixred(dp3, coefs)
+        cen_rhs = jnp.concatenate(
+            [jnp.ones((1, pix), jnp.float32), px, py], axis=0)
+        Cc = pixred(drho2, cen_rhs)                        # [CHUNK, 3]
+        gall = jnp.concatenate(
+            [gC_ref[0, ci] for ci in range(C)]
+            + [gF_ref[0, si] for si in range(S + 3)], axis=0)   # [C+S+3, pix]
+        Wg = pixred(w, gall)                               # [CHUNK, C+S+3]
+
+        def sumrow(x):
             return jnp.sum(x, axis=1, keepdims=True)       # [CHUNK, 1]
+
+        scalars = jnp.concatenate(
+            [sumrow(g_rc), sumrow(dnpc_pix), sumrow(dL_dopa_pix)], axis=1)
+
+        red_mat = jnp.concatenate([R1, R2, R3, Cc, Wg, scalars],
+                                  axis=1).T                # [nR, CHUNK]
+
+        def rr(k):
+            return red_mat[k:k + 1, :]                     # [1, CHUNK]
+
+        # R[coef] as per-instance lane 3-vectors over (dp1, dp2, dp3)
+        R_ca = (rr(0), rr(3), rr(6))
+        R_ct = (rr(1), rr(4), rr(7))
+        R_cg = (rr(2), rr(5), rr(8))
+        CcI, CcX, CcY = rr(9), rr(10), rr(11)
+        WG0 = 12                                           # Wg base index
+        gri = rr(WG0 + C + S + 3)
+        dnpc = rr(WG0 + C + S + 4)
+        g_opa = rr(WG0 + C + S + 5)
+
+        def cross3(x, y):
+            return (x[1] * y[2] - x[2] * y[1],
+                    x[2] * y[0] - x[0] * y[2],
+                    x[0] * y[1] - x[1] * y[0])
+
+        Tu_v = (Tux, Tuy, Tuz)
+        Tv_v = (Tvx, Tvy, Tvz)
+        Tw_v = (Twx, Twy, Twz)
+        # red(gTu) = Tv x R_ca + Tw x R_ct etc (the linear-form VJP
+        # gTu = ca*(Tv x dp) + ct*(Tw x dp), gTv = ca*(dp x Tu)
+        # - cg*(Tw x dp), gTw = ct*(dp x Tu) + cg*(Tv x dp), reduced)
+        A1 = cross3(Tv_v, R_ca)
+        A2 = cross3(Tw_v, R_ct)
+        B1 = cross3(R_ca, Tu_v)
+        B2 = cross3(Tw_v, R_cg)
+        C1 = cross3(R_ct, Tu_v)
+        C2 = cross3(Tv_v, R_cg)
+        rgTu = tuple(A1[i_] + A2[i_] for i_ in range(3))
+        rgTv = tuple(B1[i_] - B2[i_] for i_ in range(3))
+        rgTw = tuple(C1[i_] + C2[i_] for i_ in range(3))
+
+        # 2d-branch center-pixel reductions: red(drho2 * 2F * (cx - px))
+        gxi = 2.0 * FILTER_INV_SQUARE * (cx_l * CcI - CcX)
+        gyi = 2.0 * FILTER_INV_SQUARE * (cy_l * CcI - CcY)
 
         # chain the (reduced) center pixel/range gradients into the p_cam
         # T-columns through the spherical Jacobian — the reference does
@@ -329,24 +388,32 @@ def _bwd_kernel(chunk_tile_ref, step_starts_ref, tile_starts_ref, row0_ref,
         # depth term dL_dr * p_cam / r). Guarded like center_from_pcam:
         # degenerate lanes (center at the camera origin) are depth-culled,
         # so their gcx/gcy/g_rc are zero and only need finite factors.
-        gxi, gyi, gri = red(gcx), red(gcy), red(g_rc)      # [CHUNK, 1]
         u_p, v_p, w_p = Tuz, Tvz, Twz
         degen = (u_p * u_p + w_p * w_p) < 1e-20
         u_s = jnp.where(degen, 0.0, u_p)
         w_s = jnp.where(degen, 1.0, w_p)
         ruw2 = u_s * u_s + w_s * w_s
         ruw = jnp.sqrt(ruw2)
-        q = ruw2 + v_p * v_p                               # = r^2
+        r2q = ruw2 + v_p * v_p                             # = r^2
         inv_ruw2 = 1.0 / ruw2
-        inv_rq = 1.0 / (ruw * q)
+        inv_rq = 1.0 / (ruw * r2q)
         inv_r = 1.0 / jnp.sqrt(u_p * u_p + v_p * v_p + w_p * w_p + 1e-24)
         kx = jnp.float32(W) / (params_ref[5] - params_ref[4])
         ky = jnp.float32(H) / (params_ref[3] - params_ref[2])
         gU_c = (gxi * (kx * w_s * inv_ruw2)
                 - gyi * (ky * u_s * v_p * inv_rq) + gri * (u_p * inv_r))
-        gV_c = gyi * (ky * ruw / q) + gri * (v_p * inv_r)
+        gV_c = gyi * (ky * ruw / r2q) + gri * (v_p * inv_r)
         gW_c = (-gxi * (kx * u_s * inv_ruw2)
                 - gyi * (ky * v_p * w_s * inv_rq) + gri * (w_p * inv_r))
+
+        # depth = npc * rp3 chain, per instance: npc = det(u_cam, v_cam,
+        # p_cam), so dnpc routes v_cam x p_cam -> u_cam, p_cam x u_cam ->
+        # v_cam and (c1, c2, c3) -> p_cam
+        u_cam = (Tux, Tvx, Twx)
+        v_cam = (Tuy, Tvy, Twy)
+        p_cam = (Tuz, Tvz, Twz)
+        vxp = cross3(v_cam, p_cam)
+        pxu = cross3(p_cam, u_cam)
 
         # chain the (reduced) normal cotangents through the flip-signed
         # normalize(u_cam x v_cam) recompute into the T columns. The
@@ -355,35 +422,31 @@ def _bwd_kernel(chunk_tile_ref, step_starts_ref, tile_starts_ref, row0_ref,
         # two routes are the same function of (quat, scales), so model
         # gradients agree; the T-tap's p_cam ROW (the only row densify
         # stats read) stays untouched either way.
-        gN1 = red(w * gF_ref[0, S + 0])
-        gN2 = red(w * gF_ref[0, S + 1])
-        gN3 = red(w * gF_ref[0, S + 2])
+        gN1 = rr(WG0 + C + S + 0)
+        gN2 = rr(WG0 + C + S + 1)
+        gN3 = rr(WG0 + C + S + 2)
         gdot = n1 * gN1 + n2 * gN2 + n3 * gN3
         h_s = nsign * inv_n
-        h1 = h_s * (gN1 - n1 * gdot)
-        h2 = h_s * (gN2 - n2 * gdot)
-        h3 = h_s * (gN3 - n3 * gdot)
-        # dL/du_cam = v_cam x h -> packed cols (0, 3, 6);
-        # dL/dv_cam = h x u_cam -> packed cols (1, 4, 7)
-        gu_x = Tvy * h3 - Twy * h2
-        gu_y = Twy * h1 - Tuy * h3
-        gu_z = Tuy * h2 - Tvy * h1
-        gv_x = h2 * Twx - h3 * Tvx
-        gv_y = h3 * Tux - h1 * Twx
-        gv_z = h1 * Tvx - h2 * Tux
+        h = (h_s * (gN1 - n1 * gdot), h_s * (gN2 - n2 * gdot),
+             h_s * (gN3 - n3 * gdot))
+        gu = cross3(v_cam, h)          # dL/du_cam -> packed rows (0, 3, 6)
+        gv = cross3(h, u_cam)          # dL/dv_cam -> packed rows (1, 4, 7)
 
-        cols = [red(gTux) + gu_x, red(gTuy) + gv_x, red(gTuz) + gU_c,
-                red(gTvx) + gu_y, red(gTvy) + gv_y, red(gTvz) + gV_c,
-                red(gTwx) + gu_z, red(gTwy) + gv_z, red(gTwz) + gW_c]
-        cols.append(red(dL_dopa_pix))
-        for ci in range(C):
-            cols.append(red(w * gC_ref[0, ci]))
-        for si in range(S):
-            cols.append(red(w * gF_ref[0, si]))
-        while len(cols) < D_PAD:
-            cols.append(jnp.zeros_like(cols[0]))
-        grad_rows = jnp.concatenate(cols, axis=1)          # [CHUNK, D_PAD]
-        grad_ref[0] = grad_ref[0] + grad_rows.T
+        rows = [rgTu[0] + gu[0] + dnpc * vxp[0],
+                rgTu[1] + gv[0] + dnpc * pxu[0],
+                rgTu[2] + gU_c + dnpc * c1,
+                rgTv[0] + gu[1] + dnpc * vxp[1],
+                rgTv[1] + gv[1] + dnpc * pxu[1],
+                rgTv[2] + gV_c + dnpc * c2,
+                rgTw[0] + gu[2] + dnpc * vxp[2],
+                rgTw[1] + gv[2] + dnpc * pxu[2],
+                rgTw[2] + gW_c + dnpc * c3]
+        rows.append(g_opa)
+        for ci in range(C + S):
+            rows.append(rr(WG0 + ci))
+        if len(rows) < D_PAD:
+            rows.append(jnp.zeros((D_PAD - len(rows), CHUNK), jnp.float32))
+        grad_ref[0] = grad_ref[0] + jnp.concatenate(rows, axis=0)
 
         state_ref[0] = T_carry * incl[CHUNK - 1:CHUNK, :]
 
@@ -421,7 +484,7 @@ def run_backward(data, tile_starts, done, params, cts, totals,
 
     gC, gF, gD4 = cts
     colT, featT, depT, misc8 = totals
-    NSB = 4 + C + 3
+    NSB = 2
     kernel = functools.partial(_bwd_kernel, settings=settings, C=C, S=S,
                                n_tiles=n_tiles)
 

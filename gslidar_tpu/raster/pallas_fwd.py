@@ -19,10 +19,17 @@ lane indexing is unsupported — so the kernel contains NO loops at all:
   persists across grid steps; it is reset on the tile's first step and
   flushed to the output blocks on its last;
 * within a chunk the CUDA per-instance walk (forward.cu:392-484) is
-  vectorized: instances live on the SUBLANE axis, pixels on lanes, and
-  the front-to-back transmittance is an inclusive prefix-product computed
-  with log2(CHUNK) masked sublane rolls — the alpha-compositing
-  recurrence is associative, so this is exact, not an approximation;
+  vectorized: for the [CHUNK, pix] intersection math instances live on
+  the SUBLANE axis and pixels on lanes, and the front-to-back
+  transmittance is an inclusive prefix-product computed with log2(CHUNK)
+  masked sublane rolls — the alpha-compositing recurrence is
+  associative, so this is exact, not an approximation. Per-INSTANCE
+  derivations (cross products, polynomial atan2, normal) run with
+  instances on the LANE axis ([1, CHUNK] rows = 1 vreg/op instead of a
+  [CHUNK, 1] column's 16) and only the ~14 pixel-consumed values cross
+  layouts, in one [16, CHUNK] transpose; the blended channels never
+  do — they feed a single [F, CHUNK] @ [CHUNK, pix] MXU matmul that
+  replaces all per-channel broadcast-multiply + sublane-reduce pairs;
 * chunks whose tile is already opaque (all pixels below the 1e-4
   transmittance floor, forward.cu:441-446) skip all compute behind a
   single predicate — the early-out the CUDA kernel gets from
@@ -167,6 +174,14 @@ def _prefix_mul(x, n):
     return x
 
 
+def _excl_of(incl, iota_s):
+    """Exclusive prefix from an inclusive one: one sublane roll + select
+    (replaces the old ``incl / one_m`` divide; the forward and backward
+    kernels share this so their transmittance reconstruction stays
+    bitwise-identical)."""
+    return jnp.where(iota_s >= 1, pltpu.roll(incl, 1, 0), 1.0)
+
+
 def _prefix_sum(x, n):
     """Inclusive prefix sum along the sublane (instance) axis."""
     sub = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
@@ -253,33 +268,37 @@ def _kernel(chunk_tile_ref, step_starts_ref, tile_starts_ref, row0_ref,
     @pl.when(active)
     def _():
         state_ref[9] = state_ref[9] + 1.0                # chunks processed
-        # one transpose per chunk: [D_PAD, CHUNK] -> [CHUNK, D_PAD] so
-        # per-instance fields are sublane columns
-        data = chunk_ref[0].T                            # [CHUNK, D_PAD]
+        data = chunk_ref[0]                              # [D_PAD, CHUNK]
 
-        def row(f):
-            return data[:, f:f + 1]                      # [CHUNK, 1]
+        def rowl(f):
+            return data[f:f + 1, :]                      # [1, CHUNK]
 
-        Tux, Tuy, Tuz = row(0), row(1), row(2)
-        Tvx, Tvy, Tvz = row(3), row(4), row(5)
-        Twx, Twy, Twz = row(6), row(7), row(8)
+        # ---- per-instance math on the LANE axis --------------------------
+        # A [1, CHUNK] row costs ONE vreg per op; the old [CHUNK, 1]
+        # column layout cost 16 (127/128 lanes idle), which made the
+        # ~130-op per-instance stage (crosses, polynomial atan2, normal)
+        # a quarter of the kernel. Only the ~14 values the pixel axis
+        # actually consumes are transposed, once, as a single block.
+        Tux, Tuy, Tuz = rowl(0), rowl(1), rowl(2)
+        Tvx, Tvy, Tvz = rowl(3), rowl(4), rowl(5)
+        Twx, Twy, Twz = rowl(6), rowl(7), rowl(8)
         # center pixel/range recomputed from p_cam = (Tuz, Tvz, Twz) —
         # not payload columns (see PAYLOAD_BASE)
-        cx, cy, r_c = center_from_pcam(Tuz, Tvz, Twz, params_ref, H, W)
-        opa = row(_F_OPA)
-
-        # ray-splat intersection (forward.cu:404-424): [pix, CHUNK] outer
-        # products of per-pixel columns and per-instance rows. These stay
-        # on the VPU deliberately: as matmuls the contraction dims are 2-3
-        # wide, and a [CHUNK, 3] @ [3, pix] MXU pass at the f32 precision
-        # the conic math needs (6-pass) is ~5x slower than the broadcast
-        # multiplies. The CUDA per-pixel chain p = cross(k, l) with
-        # k = cp*Tu - sp*Tw, l = sp*ct*Tu + st*Tv + cp*ct*Tw expands (and
-        # cp^2 + sp^2 collapses) to the exact linear form
+        cx_l, cy_l, r_c_l = center_from_pcam(Tuz, Tvz, Twz, params_ref, H, W)
+        # circular-pano seam wrap of the center pixel, applied once PER
+        # INSTANCE around the tile center instead of per pixel: the two
+        # round() choices differ only when the true pixel distance is
+        # within tile_w/2 of W/2, where rho2d >= 2*(W/2 - tile_w)^2 makes
+        # alpha underflow 1/255 for any real pano width — the selected
+        # contribution set is identical. params[6]/[7] = (W, 1/W) when
+        # circular, else (0, 0) (round(0) == 0 makes it a no-op).
+        tcx = (tx * tw).astype(jnp.float32) + 0.5 * (tw - 1)
+        cx_l = cx_l - params_ref[6] * jnp.round((cx_l - tcx) * params_ref[7])
+        # The CUDA per-pixel chain p = cross(k, l) with k = cp*Tu - sp*Tw,
+        # l = sp*ct*Tu + st*Tv + cp*ct*Tw expands (cp^2 + sp^2 collapses)
+        # to the exact linear form
         #   p = st*cp*(Tu x Tv) + ct*(Tu x Tw) - st*sp*(Tw x Tv)
-        # whose three cross products are PER-INSTANCE [CHUNK, 1] vectors —
-        # hoisting them off the pixel axis cuts the [CHUNK, pix]
-        # intersection work from 33 to 15 broadcast ops.
+        # whose three cross products are per-instance vectors.
         Ax = Tuy * Tvz - Tuz * Tvy
         Ay = Tuz * Tvx - Tux * Tvz
         Az = Tux * Tvy - Tuy * Tvx
@@ -289,36 +308,59 @@ def _kernel(chunk_tile_ref, step_starts_ref, tile_starts_ref, row0_ref,
         Gx = Twy * Tvz - Twz * Tvy
         Gy = Twz * Tvx - Twx * Tvz
         Gz = Twx * Tvy - Twy * Tvx
+        n1, n2, n3, c1, c2, c3, _inv_n, _sign = normal_from_T(
+            Tux, Tuy, Tuz, Tvx, Tvy, Tvz, Twx, Twy, Twz)
+        # depth of the ray-plane intersection x = depth * ray: dotting
+        # x = s1*u_cam + s2*v_cam + p_cam with n = u_cam x v_cam gives
+        # depth = (n . p_cam) / (n . ray), and n . ray == p3 exactly
+        # (verified identity of the linear form) — so the CUDA depth
+        # chain s^T T r (forward.cu:420-424) collapses to npc * rp3.
+        npc_l = c1 * Tuz + c2 * Tvz + c3 * Twz
+        inst_rows = jnp.concatenate(
+            [Ax, Ay, Az, Bx, By, Bz, Gx, Gy, Gz,
+             npc_l, cx_l, cy_l, r_c_l, rowl(_F_OPA),
+             jnp.zeros((2, CHUNK), jnp.float32)], axis=0)  # [16, CHUNK]
+        im = inst_rows.T            # ONE [16, CHUNK] -> [CHUNK, 16] transpose
+
+        def col(f):
+            return im[:, f:f + 1]                        # [CHUNK, 1]
+
+        # the blended per-instance channels never leave the lane layout:
+        # they feed the MXU matmul below as [F, CHUNK] rows directly
+        fields = jnp.concatenate(
+            [jnp.ones((1, CHUNK), jnp.float32)]
+            + [rowl(_F_COL + i_) for i_ in range(C + S)]
+            + [n1, n2, n3], axis=0)                      # [F, CHUNK]
+
+        # ---- ray-splat intersection on the pixel axis --------------------
+        # (forward.cu:404-424): [CHUNK, pix] broadcast products of
+        # per-instance columns and per-pixel rows. These stay on the VPU
+        # deliberately: as matmuls the contraction dims are 2-3 wide, and
+        # a [CHUNK, 3] @ [3, pix] MXU pass at the f32 precision the conic
+        # math needs (6-pass) is ~5x slower than the broadcast multiplies.
         ca = st * cp
         cg = -(st * sp)
-        p1 = ca * Ax + ct * Bx + cg * Gx
-        p2 = ca * Ay + ct * By + cg * Gy
-        p3 = ca * Az + ct * Bz + cg * Gz
+        p1 = ca * col(0) + ct * col(3) + cg * col(6)
+        p2 = ca * col(1) + ct * col(4) + cg * col(7)
+        p3 = ca * col(2) + ct * col(5) + cg * col(8)
         p3ok = p3 != 0.0
         p3s = jnp.where(p3ok, p3, 1.0)
-        # one reciprocal feeds both coordinates (the backward multiplies
-        # by the SAME rp3 so its T reconstruction stays bitwise-equal)
+        # one reciprocal feeds the coordinates AND the depth (the backward
+        # multiplies by the SAME rp3 so its T reconstruction stays
+        # bitwise-equal)
         rp3 = 1.0 / p3s
         s1 = p1 * rp3
         s2 = p2 * rp3
         rho3d = s1 * s1 + s2 * s2
-        dxp = cx - px
-        # params[6]/[7] = (W, 1/W) when the pano is circular, else (0, 0):
-        # wraps the 2D pixel distance across the phi = +-pi seam (no-op
-        # when disabled since round(0) == 0)
-        dxp = dxp - params_ref[6] * jnp.round(dxp * params_ref[7])
-        dyp = cy - py
+        dxp = col(10) - px
+        dyp = col(11) - py
         rho2d = FILTER_INV_SQUARE * (dxp * dxp + dyp * dyp)
         use3d = rho3d <= rho2d
         rho = jnp.minimum(rho3d, rho2d)
-        sTu = s1 * Tux + s2 * Tuy + Tuz
-        sTv = s1 * Tvx + s2 * Tvy + Tvz
-        sTw = s1 * Twx + s2 * Twy + Twz
-        depth3d = sTu * st * sp - sTv * ct + sTw * st * cp
-        depth = jnp.where(use3d, depth3d, r_c)
-        alpha = jnp.minimum(MAX_ALPHA, opa * jnp.exp(-0.5 * rho))
-        inst = jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 0)
-        slot = slot0 + inst
+        depth = jnp.where(use3d, col(9) * rp3, col(12))
+        alpha = jnp.minimum(MAX_ALPHA, col(13) * jnp.exp(-0.5 * rho))
+        iota_s = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+        slot = slot0 + iota_s                            # [CHUNK, 1]
         in_cnt = (slot >= start) & (slot < end)
         ok = (in_cnt & p3ok & (depth >= near) & (depth <= far)
               & (alpha >= ALPHA_EPS))
@@ -327,22 +369,23 @@ def _kernel(chunk_tile_ref, step_starts_ref, tile_starts_ref, row0_ref,
 
         one_m = 1.0 - a
         incl = _prefix_mul(one_m, CHUNK)                 # [CHUNK, pix]
-        T_before = T_carry * (incl / one_m)              # exclusive * carry
+        T_before = T_carry * _excl_of(incl, iota_s)
         test_T = T_before * one_m
         accept = ok & (test_T >= T_STOP)
         w = jnp.where(accept, a * T_before, 0.0)
 
-        nrm = normal_from_T(Tux, Tuy, Tuz, Tvx, Tvy, Tvz,
-                            Twx, Twy, Twz)[:3]
-        for ci in range(C):
-            state_ref[11 + ci] = state_ref[11 + ci] + jnp.sum(
-                w * row(_F_COL + ci), axis=0, keepdims=True)
-        for si in range(S):
-            state_ref[11 + C + si] = state_ref[11 + C + si] + jnp.sum(
-                w * row(_F_COL + C + si), axis=0, keepdims=True)
-        for ni in range(3):
-            state_ref[11 + C + S + ni] = state_ref[11 + C + S + ni] + jnp.sum(
-                w * nrm[ni], axis=0, keepdims=True)
+        # ---- accumulate: one MXU matmul for every per-instance channel ---
+        # row 0 (ones) is the accepted-weight total (sum w != 1 - T_fin
+        # because rejected-by-floor instances still decay T; the backward
+        # needs it for the distortion suffix total), rows 1.. are the
+        # C + S blended channels and the 3 normal components. Replaces
+        # 12 broadcast-multiplies + 12 sublane reductions per chunk.
+        mm = jax.lax.dot_general(
+            fields, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)         # [F, pix]
+        F = fields.shape[0]
+        state_ref[10:10 + F] = state_ref[10:10 + F] + mm[:, None, :]
 
         state_ref[1] = state_ref[1] + jnp.sum(d_safe * w, 0, keepdims=True)
         state_ref[2] = state_ref[2] + jnp.sum(d_safe * d_safe * w, 0,
@@ -363,7 +406,7 @@ def _kernel(chunk_tile_ref, step_starts_ref, tile_starts_ref, row0_ref,
 
         # median depth: LAST accepted contribution with T_before > 0.5
         # (forward.cu:458-462); positions are exact in f32 (< 2^24)
-        pos1 = (slot - start + 1).astype(jnp.float32)
+        pos1 = (slot - start + 1).astype(jnp.float32)    # [CHUNK, 1]
         med_mask = accept & (T_before > 0.5)
         score = jnp.where(med_mask, pos1, 0.0)
         best = jnp.max(score, axis=0, keepdims=True)
@@ -375,10 +418,6 @@ def _kernel(chunk_tile_ref, step_starts_ref, tile_starts_ref, row0_ref,
 
         nc = jnp.where(accept, pos1, 0.0)
         state_ref[8] = jnp.maximum(state_ref[8], jnp.max(nc, 0, keepdims=True))
-        # total accepted weight (sum w != 1 - T_fin because rejected-by-floor
-        # instances still decay T); the backward needs it for the distortion
-        # suffix total
-        state_ref[10] = state_ref[10] + jnp.sum(w, 0, keepdims=True)
 
         state_ref[0] = T_carry * incl[CHUNK - 1:CHUNK, :]
 
