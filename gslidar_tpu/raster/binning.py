@@ -8,18 +8,29 @@ Performance model (slope-measured on v5e through dependent-chain
 microbenchmarks, scripts/microbench_engines.py — round-1 numbers
 measured via non-blocking dispatch were unreliable):
 
-  * row GATHERS price per row (~8.6 ms / 1M rows) and are WIDTH-FREE up
-    to tens of f32 columns; sorted indices and bf16 do not help;
+  * row GATHERS price per row (~8.6 ms / 1M rows) and are nearly
+    width-free up to ~24 f32 columns (K=2.26M, microbench_stages: width
+    4 = 13.7 ms, width 18 = 18.3 ms) — but fall off a CLIFF at width 28
+    (86.5 ms: the row no longer fits whatever slice granule the engine
+    uses). Keep D_PAD <= 24. Sorted indices and bf16 do not help;
   * SCATTERS price per element (~5 ns/elem), so multi-column scatters
     and wide segment_sums are ruinous;
-  * SORTS run fast and nearly payload-width-free (1M keys + 28 u32
-    payload columns ~ 0.8-1.5 ms; 2.5M ~ 4.6 ms) — BUT the XLA:TPU sort
-    COMPILES at ~10 s per operand (measured: 4 ops 22 s, 12 ops 113 s,
-    30 ops 637 s), and this environment has no persistent compilation
-    cache, so wide payload-carrying sorts are unusable: every train/eval
-    process would pay minutes of compile per shape. Sorts are therefore
-    capped at 2-3 operands and the payload is reordered by one
-    post-sort row gather instead;
+  * narrow SORTS run fast (2-3 operands at K=2.26M: 5.5-5.8 ms), but
+    payload-carrying sorts are NOT width-free at this scale: the full
+    render with 21 int32 payload operands riding the sort measured
+    binning at 55.4 ms vs the narrow path's 38.2 — ~1.5 ms/operand,
+    which LOSES to the 18.3 ms post-sort row gather it replaces. (An
+    earlier "1M keys + 28 cols ~ 1 ms" reading was a dead-code artifact;
+    trust the end-to-end number.) Sort COMPILE is ~10-19 s per operand
+    (4 ops 22 s, 12 ops 113 s, 30 ops 637 s) — amortized: the
+    persistent compilation cache (JAX_COMPILATION_CACHE_DIR) DOES
+    round-trip TPU executables on this relay (verified cross-process:
+    123 s -> 0.17 s, scripts/probe_compile_cache.py — earlier "no
+    cache" readings were false negatives from the AOT
+    .lower().compile() path bypassing the cache and from exiting before
+    the async write finished). payload_in_sort therefore stays a
+    non-default mode; the compile-cache discovery stands on its own
+    (train/eval/bench warm-start in seconds instead of minutes);
   * cumsums / compare-sums are ~free (0.07-0.2 ms / 1M).
 
 Round-3 alternatives measured AND REFUTED at the bench shape (P=1M,
@@ -41,12 +52,11 @@ K=2.26M; scripts/microbench_segbcast.py, scripts/microbench_dma_gather.py)
   * (late round 3) replacing the word gather with packed scatter+cumsum
     segment broadcasts of (gid|rw) and (rmin|dq): the runtime math only
     breaks even (scatter-ADD is 8.7 ms/M updates, and the within-segment
-    index then needs a third broadcast for offsets), and the COMPILE
-    costs are prohibitive without a persistent cache — measured on this
-    relay: associative_scan(max) at P=1M compiles in 55 s, at K=2.26M in
-    66 s lower + 282 s compile, and a 2-tuple-combine scan at P=1M never
-    finished (>9 min). cumsum/scatter compile fast (~17 s); any design
-    needing a NEW large associative_scan per shape is dead on arrival.
+    index then needs a third broadcast for offsets). Compile costs
+    (associative_scan(max) at P=1M: 55 s; at K=2.26M: 66 s lower + 282 s
+    compile; a 2-tuple-combine scan at P=1M: >9 min, never finished) are
+    amortized by the persistent cache but the runtime still only breaks
+    even, so the design stays on the gather.
 
 IMPLEMENTED from that cost model (re-measure on a chip): the payload
 carries no xy / r_c columns — every compositor recomputes them from
@@ -179,17 +189,21 @@ def bin_gaussians(rect_min, rect_max, depth, tiles_touched,
     words_i = jnp.stack([w0, rmin_tile, dq], axis=1)           # [P, 3]
     wide = settings.payload_in_sort and payload is not None
     if wide:
-        # pad the payload to an even column count so f32 pairs pack into
-        # complex64 sort operands (the sort never compares payload
-        # operands — only the key — so the pairing is free), halving the
-        # operand count and its ~10 s/operand compile price
+        # The whole gathered table stays in the INT domain: binning words
+        # bitcast to f32 are denormal/NaN bit patterns, and the TPU
+        # flushes them to zero in any compute between bitcasts (measured
+        # on-chip: wrong sort keys; CPU tests never caught it). Payload
+        # f32 bits ride the sort as D separate int32 operands — moves
+        # only, bit-exact by construction. (int64 pairing would halve the
+        # operand count but is x64-gated; complex64 pairing re-enters
+        # float semantics. The ~10-19 s/operand compile price is paid
+        # once per shape and served from the persistent compilation
+        # cache thereafter — see scripts/probe_compile_cache.py.)
         D = payload.shape[1]
-        Dp = D + (D % 2)
-        pay = payload if D == Dp else jnp.pad(payload, ((0, 0), (0, 1)))
-        words_f = jax.lax.bitcast_convert_type(words_i, jnp.float32)
-        rows = jnp.concatenate([words_f, pay], axis=1)[gid]    # [K, 3+Dp]
-        ws = jax.lax.bitcast_convert_type(rows[:, :3], jnp.int32)
-        cpay = jax.lax.complex(rows[:, 3::2], rows[:, 4::2])   # [K, Dp/2]
+        pay_i = jax.lax.bitcast_convert_type(payload, jnp.int32)
+        rows = jnp.concatenate([words_i, pay_i], axis=1)[gid]  # [K, 3+D]
+        ws = rows[:, :3]
+        wpay = rows[:, 3:]                                     # [K, D] i32
     else:
         ws = words_i[gid]                                      # [K, 3]
     w0_s, rmin_tile_s, dq_s = ws[:, 0], ws[:, 1], ws[:, 2]
@@ -224,7 +238,7 @@ def bin_gaussians(rect_min, rect_max, depth, tiles_touched,
     if with_slots:
         operands.append(slots)
     if wide:
-        operands.extend(cpay[:, i] for i in range(Dp // 2))
+        operands.extend(wpay[:, i] for i in range(D))
     out = jax.lax.sort(tuple(operands), dimension=0, num_keys=1,
                        is_stable=True)
     key_s, gid_s = out[0], out[1]
@@ -235,9 +249,8 @@ def bin_gaussians(rect_min, rect_max, depth, tiles_touched,
     else:
         inv_perm = None
     if wide:
-        cs = jnp.stack(out[-(Dp // 2):], axis=1)               # [K, Dp/2]
-        data_rows_s = jnp.stack([jnp.real(cs), jnp.imag(cs)],
-                                axis=2).reshape(K, Dp)[:, :D]
+        bits = jnp.stack(out[-D:], axis=1)                     # [K, D] i32
+        data_rows_s = jax.lax.bitcast_convert_type(bits, jnp.float32)
     elif payload is not None:
         # payload lands in sorted instance order with ONE row gather from
         # the [P, D] table (pad slots carry a clamped-but-valid gid; the
@@ -268,7 +281,16 @@ def bin_gaussians(rect_min, rect_max, depth, tiles_touched,
 
 def data_chunks(binning: Binning, chunk: int, d_pad: int) -> jnp.ndarray:
     """[K // chunk, d_pad, chunk] sorted payload in the pallas kernel's
-    chunk-table layout (fields on sublanes, instances on lanes)."""
+    chunk-table layout (fields on sublanes, instances on lanes).
+
+    The host-side transpose costs a measured ~2.2 ms/render of HBM
+    round-trip at the bench shape, but it is the CHEAPEST option:
+    shipping row-major [chunk, d_pad] blocks and transposing in-kernel
+    (both Mosaic's vreg-shuffle .T and an exact MXU X^T@I) measured
+    ~4-5 ms SLOWER per render, because a [128, 24] f32 block has a
+    24-lane minor dimension — every vreg is 5x padded through the DMA
+    and the relayout, while [24, 128] blocks are lane-dense.
+    """
     rows = binning.data_rows
     K, D = rows.shape
     assert K % chunk == 0 and D <= d_pad

@@ -70,19 +70,18 @@ class RasterSettings:
                                   # pixel x offsets, so the 2D pixel
                                   # distance must wrap at the GLOBAL
                                   # width (parallel/pano_shard.py).
-    payload_in_sort: bool = False # EXPERIMENTAL: carry the render
-                                  # payload through the binning sort as
-                                  # complex64-packed operand pairs
-                                  # (payload operands are permuted, never
-                                  # compared, so 2 f32 ride per operand)
-                                  # instead of a post-sort row gather.
-                                  # Faster at run time, but the XLA:TPU
-                                  # sort compiles at ~10 s/operand (f32
-                                  # payload measured >30 min at 2M
-                                  # instances; c64 halves the count — no
-                                  # persistent compile cache exists on
-                                  # this backend) — only usable for
-                                  # long-lived serving processes.
+    payload_in_sort: bool = False # carry the render payload through the
+                                  # binning sort as int32-bit-pattern
+                                  # operands (permuted, never compared —
+                                  # bit-exact) instead of a post-sort
+                                  # K-row gather. Measured SLOWER at the
+                                  # bench shape (sort payload ~1.5 ms
+                                  # per operand at K=2.26M vs the
+                                  # 18.3 ms gather it deletes) — kept as
+                                  # a parity-tested alternate mode, not
+                                  # the default. Compile is ~10-19 s per
+                                  # operand, paid once per shape via
+                                  # JAX_COMPILATION_CACHE_DIR.
 
     def __post_init__(self):
         object.__setattr__(self, "vfov", tuple(float(v) for v in self.vfov))

@@ -219,7 +219,7 @@ def main():
         Kv, Dv = rows.shape
         if Dv < D_PAD:
             rows = jnp.pad(rows, ((0, 0), (0, D_PAD - Dv)))
-        return rows.reshape(Kv // CHUNK, CHUNK, D_PAD).transpose(0, 2, 1)
+        return rows.reshape(Kv // CHUNK, CHUNK, D_PAD)
 
     chunks = [s_chunks(r) for r in pgs]
     slope(s_chunks, [(r,) for r in pgs], "chunk table pad+transpose")

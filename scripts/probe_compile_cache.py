@@ -18,9 +18,9 @@ import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/jax_comp"))
-# Cache even small/fast compilations so the probe is unambiguous.
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+# NOTE: do NOT override JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES — a
+# bogus value silently disables cache WRITES, which is this probe's other
+# historical false-negative.
 
 import jax
 import jax.numpy as jnp
@@ -38,15 +38,14 @@ def main():
     def wide_sort(*xs):
         return jax.lax.sort(xs, dimension=0, num_keys=1, is_stable=True)
 
+    # NOTE: must go through the jit CALL path — .lower().compile() (AOT)
+    # bypasses the persistent cache on this jax version, which is exactly
+    # how this probe first produced a false "no cache" reading.
     t0 = time.perf_counter()
-    lowered = wide_sort.lower(*ops)
-    t1 = time.perf_counter()
-    compiled = lowered.compile()
-    t2 = time.perf_counter()
-    out = compiled(*ops)
+    out = wide_sort(*ops)
     jax.block_until_ready(out)
-    t3 = time.perf_counter()
-    print(f"lower {t1-t0:.1f}s  compile {t2-t1:.1f}s  run1 {t3-t2:.3f}s")
+    t1 = time.perf_counter()
+    print(f"first call (compile+run) {t1-t0:.1f}s")
 
 
 if __name__ == "__main__":

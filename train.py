@@ -21,6 +21,13 @@ from collections import deque
 
 import numpy as np
 
+# Persistent XLA compile cache: verified to round-trip TPU executables on
+# this relay (scripts/probe_compile_cache.py). Recompiles of the jitted
+# train/eval steps — and the wide payload-carrying binning sort — are paid
+# once per (shape, config) per machine.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_comp"))
+
 from gslidar_tpu.config import Config, load_run_config
 
 
