@@ -405,16 +405,23 @@ def _kernel(chunk_tile_ref, step_starts_ref, tile_starts_ref, row0_ref,
             state_ref[5] = state_ref[5] + jnp.sum(m2w, 0, keepdims=True)
 
         # median depth: LAST accepted contribution with T_before > 0.5
-        # (forward.cu:458-462); positions are exact in f32 (< 2^24)
+        # (forward.cu:458-462); positions are exact in f32 (< 2^24).
+        # Once every pixel of the tile is below T = 0.5 no further update
+        # is possible (T_before <= T_carry elementwise), so the whole
+        # block is skipped — on dense scenes most chunks run past the
+        # median crossing.
         pos1 = (slot - start + 1).astype(jnp.float32)    # [CHUNK, 1]
-        med_mask = accept & (T_before > 0.5)
-        score = jnp.where(med_mask, pos1, 0.0)
-        best = jnp.max(score, axis=0, keepdims=True)
-        best_d = jnp.max(jnp.where(score == best, d_safe, -jnp.inf),
-                         axis=0, keepdims=True)
-        upd = (best > state_ref[7]) & (best > 0)
-        state_ref[6] = jnp.where(upd, best_d, state_ref[6])
-        state_ref[7] = jnp.maximum(state_ref[7], best)
+
+        @pl.when(jnp.max(T_carry) > 0.5)
+        def _():
+            med_mask = accept & (T_before > 0.5)
+            score = jnp.where(med_mask, pos1, 0.0)
+            best = jnp.max(score, axis=0, keepdims=True)
+            best_d = jnp.max(jnp.where(score == best, d_safe, -jnp.inf),
+                             axis=0, keepdims=True)
+            upd = (best > state_ref[7]) & (best > 0)
+            state_ref[6] = jnp.where(upd, best_d, state_ref[6])
+            state_ref[7] = jnp.maximum(state_ref[7], best)
 
         nc = jnp.where(accept, pos1, 0.0)
         state_ref[8] = jnp.maximum(state_ref[8], jnp.max(nc, 0, keepdims=True))

@@ -21,8 +21,8 @@ import jax
 import jax.numpy as jnp
 
 from gslidar_tpu.ops.sh import eval_sh
-from gslidar_tpu.raster.settings import (FRUSTUM_MARGIN, NEAR_N,
-                                         RasterSettings)
+from gslidar_tpu.raster.settings import (FILTER_INV_SQUARE, FRUSTUM_MARGIN,
+                                         NEAR_N, RasterSettings)
 
 
 def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
@@ -75,32 +75,33 @@ def build_transmat(means3D, scales, quats, viewmat, scale_modifier=1.0):
     return T, normal
 
 
-def wrap_col_rect(cx_pix, rad_i, W, tw, gx):
+def wrap_col_rect(cx_pix, rad_lo, rad_hi, W, tw, gx):
     """Tile-column rect of a circular-pano splat: first covered column and
     modular width (binning walks ``col_a .. col_a + wt - 1 (mod gx)``).
 
-    The covered pixel span is [cx - rad_i, cx + rad_i] wrapped at W while
-    the tile grid wraps at gx (the two periods differ when the last tile
-    is partial, gx*tw > W). The span wraps the seam iff a + 2*rad_i >= W
-    with a = mod(cx - rad_i, W); then the covered set is [a, W) u [0, b]
-    -> columns col(a)..gx-1 plus 0..col(b), i.e. (gx - col_a) + col_b + 1
-    clamped to one revolution. (A single mod(col_b - col_a, gx) + 1 is
-    WRONG when the span wraps but col_b >= col_a still holds:
-    near-full-revolution spans in (W - tw, W) would collapse to a sliver
-    and silently drop the splat from most tiles in both render and
-    gradients.)
+    The covered pixel span is [cx - rad_lo, cx + rad_hi] wrapped at W
+    while the tile grid wraps at gx (the two periods differ when the last
+    tile is partial, gx*tw > W). The span wraps the seam iff
+    a + rad_lo + rad_hi >= W with a = mod(cx - rad_lo, W); then the
+    covered set is [a, W) u [0, b] -> columns col(a)..gx-1 plus 0..col(b),
+    i.e. (gx - col_a) + col_b + 1 clamped to one revolution. (A single
+    mod(col_b - col_a, gx) + 1 is WRONG when the span wraps but
+    col_b >= col_a still holds: near-full-revolution spans in (W - tw, W)
+    would collapse to a sliver and silently drop the splat from most
+    tiles in both render and gradients.)
     """
-    a = jnp.mod(cx_pix - rad_i, W)
-    b = jnp.mod(cx_pix + rad_i, W)
+    span = rad_lo + rad_hi
+    a = jnp.mod(cx_pix - rad_lo, W)
+    b = jnp.mod(cx_pix + rad_hi, W)
     col_a = jnp.clip((a / tw).astype(jnp.int32), 0, gx - 1)
     col_b = jnp.clip((b / tw).astype(jnp.int32), 0, gx - 1)
-    wrapped = (a + 2.0 * rad_i) >= W
+    wrapped = (a + span) >= W
     wt = jnp.where(wrapped,
                    jnp.minimum(gx, gx - col_a + col_b + 1),
                    col_b - col_a + 1)
     # spans of a full revolution or more cover everything (the wrapped
     # union formula above assumes the span stops before closing the loop)
-    wt = jnp.where(2.0 * rad_i >= W, gx, wt)
+    wt = jnp.where(span >= W, gx, wt)
     return col_a, col_a + wt
 
 
@@ -250,17 +251,58 @@ def preprocess(means3D, scales, quats, opacity, shs, mask, viewmat, campos,
 
     cx_pix = (phi - HFOV_min) * W / (HFOV_max - HFOV_min)
     cy_pix = (theta - VFOV_min) * H / (VFOV_max - VFOV_min)
-    radius = jnp.maximum(
-        jnp.maximum(jnp.max(sx_pix, 1) - cx_pix, cx_pix - jnp.min(sx_pix, 1)),
-        jnp.maximum(jnp.max(sy_pix, 1) - cy_pix, cy_pix - jnp.min(sy_pix, 1)))
+    ex_hi = jnp.max(sx_pix, 1) - cx_pix              # per-axis ring extents
+    ex_lo = cx_pix - jnp.min(sx_pix, 1)
+    ey_hi = jnp.max(sy_pix, 1) - cy_pix
+    ey_lo = cy_pix - jnp.min(sy_pix, 1)
+    radius = jnp.maximum(jnp.maximum(ex_hi, ex_lo),
+                         jnp.maximum(ey_hi, ey_lo))
     valid = valid & (radius >= 0.3)                      # forward.cu:257-258
     rad_i = jnp.ceil(radius)
 
-    # tile rect: center +- radius, clamped to the grid (auxiliary.h:47-55)
+    if settings.tight_rects:
+        # Output-preserving per-axis rect (measured: ~0.88x instances at
+        # the bench shape, scripts/measure_tight_rects.py). A pixel can
+        # only contribute if alpha = min(.99, op*exp(-rho/2)) >= 1/255,
+        # i.e. rho <= rho_eps = 2*ln(255*op); the kernel masks everything
+        # else (forward.cu:441-446), so culling tiles that lie wholly
+        # outside the rho_eps support changes NO composited output or
+        # gradient. The reference instead rasterizes the full SQUARE of
+        # the rho = 9+2*ln(op) ring's max extent (forward.cu:129-171,243)
+        # — the square is wasteful on both axes for anisotropic splats.
+        # Per-axis extents of the rho_eps support are estimated by
+        # scaling the sampled ring's extents with the cutoff ratio
+        # (exact up to projection nonlinearity, so: a 1.10 margin, a
+        # 1 px pad, and a fallback to the square for radius > 48 px
+        # where linearization degrades), then UNIONED with the rho2d
+        # low-pass disk (pixels within sqrt(rho_eps/FilterInvSquare) of
+        # the center stay alive regardless of the 3D ellipse) and
+        # INTERSECTED with the reference square so coverage only ever
+        # shrinks — tiles we keep are exactly the reference's minus
+        # provably-zero ones. Exactness is regression-tested by
+        # tight-vs-square render equality on random scenes
+        # (tests/test_raster.py::test_tight_rects_output_preserving).
+        rho_eps = jnp.maximum(
+            2.0 * jnp.log(255.0 * jnp.maximum(opacity, 1e-30)), 1e-6)
+        ratio = jnp.sqrt(rho_eps) / cutoff * 1.10
+        disk = jnp.sqrt(rho_eps / FILTER_INV_SQUARE) + 1.0
+        small = radius <= 48.0
+
+        def _side(ext):
+            tight = jnp.ceil(jnp.maximum(ratio * ext, disk) + 1.0)
+            return jnp.minimum(rad_i, jnp.where(small, tight, rad_i))
+
+        rx_lo, rx_hi = _side(ex_lo), _side(ex_hi)
+        ry_lo, ry_hi = _side(ey_lo), _side(ey_hi)
+    else:
+        rx_lo = rx_hi = ry_lo = ry_hi = rad_i
+
+    # tile rect: center - lo .. center + hi, clamped to the grid
+    # (reference: center +- radius, auxiliary.h:47-55)
     gx, gy = settings.tiles_x, settings.tiles_y
     tw, th = settings.tile_w, settings.tile_h
-    rect_min_y = jnp.clip(((cy_pix - rad_i) / th).astype(jnp.int32), 0, gy)
-    rect_max_y = jnp.clip(((cy_pix + rad_i + th - 1) / th).astype(jnp.int32), 0, gy)
+    rect_min_y = jnp.clip(((cy_pix - ry_lo) / th).astype(jnp.int32), 0, gy)
+    rect_max_y = jnp.clip(((cy_pix + ry_hi + th - 1) / th).astype(jnp.int32), 0, gy)
     if settings.wrap_x:
         # circular x: the pixel axis wraps at W (phi = +-pi seam) while the
         # tile grid wraps at tiles_x — the two periods differ when the last
@@ -268,10 +310,10 @@ def preprocess(means3D, scales, quats, opacity, shs, mask, viewmat, campos,
         # column in WRAPPED pixel space; the covered set is the modular
         # column run col_a..col_a+wt-1 (binning walks it mod gx). Capped at
         # one full revolution.
-        rect_min_x, rect_max_x = wrap_col_rect(cx_pix, rad_i, W, tw, gx)
+        rect_min_x, rect_max_x = wrap_col_rect(cx_pix, rx_lo, rx_hi, W, tw, gx)
     else:
-        rect_min_x = jnp.clip(((cx_pix - rad_i) / tw).astype(jnp.int32), 0, gx)
-        rect_max_x = jnp.clip(((cx_pix + rad_i + tw - 1) / tw).astype(jnp.int32), 0, gx)
+        rect_min_x = jnp.clip(((cx_pix - rx_lo) / tw).astype(jnp.int32), 0, gx)
+        rect_max_x = jnp.clip(((cx_pix + rx_hi + tw - 1) / tw).astype(jnp.int32), 0, gx)
     area = (rect_max_x - rect_min_x) * (rect_max_y - rect_min_y)
     valid = valid & (area > 0)
     tiles_touched = jnp.where(valid, area, 0).astype(jnp.int32)

@@ -70,6 +70,19 @@ class RasterSettings:
                                   # pixel x offsets, so the 2D pixel
                                   # distance must wrap at the GLOBAL
                                   # width (parallel/pano_shard.py).
+    tight_rects: bool = True      # per-axis output-preserving tile rects:
+                                  # the reference rasterizes the full
+                                  # SQUARE of the cutoff ring's max extent
+                                  # (forward.cu:129-171); tiles outside
+                                  # the alpha >= 1/255 support (rho_eps =
+                                  # 2*ln(255*op)) can never contribute a
+                                  # pixel or a gradient, so they are
+                                  # culled per axis (intersected with the
+                                  # reference square — coverage only
+                                  # shrinks). ~0.88x instances at the
+                                  # bench shape; render output is
+                                  # bit-identical (tested). False restores
+                                  # the reference square.
     payload_in_sort: bool = False # carry the render payload through the
                                   # binning sort as int32-bit-pattern
                                   # operands (permuted, never compared —

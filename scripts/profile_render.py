@@ -54,6 +54,9 @@ def main():
     ap.add_argument("--tiles", nargs="*", default=["32x32"],
                     help="tile shapes to profile, e.g. 8x128 32x32")
     ap.add_argument("--pair-cap-bits", type=int, default=21)
+    ap.add_argument("--pair-cap", type=int, default=0,
+                    help="exact pair cap (overrides --pair-cap-bits); "
+                    "17664*128 = the bench cap")
     ap.add_argument("--wide", action="store_true",
                     help="payload_in_sort=True (serving mode; slow compile)")
     ap.add_argument("--dist", action="store_true",
@@ -81,7 +84,8 @@ def main():
         th, tw = (int(v) for v in tile.split("x"))
         settings = RasterSettings(
             height=66, width=1030, vfov=(-24.9, 2.0), hfov=(-180, 180),
-            num_extra_features=4, pair_cap=1 << args_cli.pair_cap_bits,
+            num_extra_features=4,
+            pair_cap=args_cli.pair_cap or (1 << args_cli.pair_cap_bits),
             tile_h=th, tile_w=tw, wrap_x=True, backend="pallas",
             payload_in_sort=args_cli.wide,
             compute_distortion=args_cli.dist)

@@ -244,20 +244,23 @@ def test_wrap_col_rect_covers_pixel_walk(rng):
     from gslidar_tpu.raster.preprocess import wrap_col_rect
     W, tw = 1030, 32
     gx = (W + tw - 1) // tw                               # 33, partial last
-    cases = [(557.5, 507.0)]                              # a=50, span=1014
+    cases = [(557.5, 507.0, 507.0)]                       # a=50, span=1014
     for _ in range(300):
+        # asymmetric lo/hi spans (tight per-axis rects produce them)
         cases.append((float(rng.uniform(-W, 2 * W)),
+                      float(np.ceil(rng.uniform(0.5, 0.7 * W))),
                       float(np.ceil(rng.uniform(0.5, 0.7 * W)))))
-    cx = jnp.asarray([c for c, _ in cases], jnp.float32)
-    rad = jnp.asarray([r for _, r in cases], jnp.float32)
-    lo, hi = wrap_col_rect(cx, rad, W, tw, gx)
+    cx = jnp.asarray([c for c, _, _ in cases], jnp.float32)
+    rlo = jnp.asarray([r for _, r, _ in cases], jnp.float32)
+    rhi = jnp.asarray([r for _, _, r in cases], jnp.float32)
+    lo, hi = wrap_col_rect(cx, rlo, rhi, W, tw, gx)
     lo, hi = np.asarray(lo), np.asarray(hi)
-    for i, (c, r) in enumerate(cases):
-        s = np.arange(0.0, 2 * r + 0.25, 0.25)
-        covered = set((((np.mod(c - r, W) + s) % W) // tw).astype(int))
+    for i, (c, rl, rh) in enumerate(cases):
+        s = np.arange(0.0, rl + rh + 0.25, 0.25)
+        covered = set((((np.mod(c - rl, W) + s) % W) // tw).astype(int))
         emitted = set((lo[i] + np.arange(hi[i] - lo[i])) % gx)
         assert covered <= emitted, (
-            f"case {i}: cx={c} rad={r} covered {sorted(covered)} "
+            f"case {i}: cx={c} rad={rl}/{rh} covered {sorted(covered)} "
             f"!<= emitted {sorted(emitted)}")
         assert hi[i] - lo[i] <= gx
 
@@ -419,3 +422,63 @@ def test_tap_grad_includes_2d_branch():
                     f"tap grad[{gi},2,{j}]={g[gi, 2, j]} vs fd={fd}"
     finally:
         jax.config.update("jax_enable_x64", False)
+
+
+def test_tight_rects_output_preserving(rng):
+    """Per-axis tight rects cull only (tile, gaussian) pairs whose every
+    pixel fails the alpha >= 1/255 mask: a culled instance contributed
+    exactly a = 0, so the render is identical in exact arithmetic. In f32
+    the removals shift later instances across scan-chunk boundaries,
+    regrouping the accumulator sums — so the comparison is ulp-level
+    tolerances, not bit equality (measured: 1-ulp diffs on ~4% of
+    pixels), plus a tiny allowance for T-threshold crossings flipping a
+    median pick."""
+    import dataclasses
+
+    for wrap in (False, True):
+        settings = dataclasses.replace(
+            SET, wrap_x=wrap, hfov=(-180, 180) if wrap else HFOV)
+        sq_set = dataclasses.replace(settings, tight_rects=False)
+        for p, seed in ((96, 0), (200, 1)):
+            scene = make_scene(np.random.default_rng(seed), P=p)
+            tight = _jitted(settings, False)(*_args_of(scene))
+            square = _jitted(sq_set, False)(*_args_of(scene))
+            assert int(tight.num_dropped) == 0
+            assert int(square.num_dropped) == 0
+            for field, atol in (("color", 2e-6), ("alpha", 2e-6),
+                                ("feature", 2e-5), ("final_T", 2e-6)):
+                np.testing.assert_allclose(
+                    np.asarray(getattr(tight, field)),
+                    np.asarray(getattr(square, field)), atol=atol,
+                    err_msg=f"{field} wrap={wrap} P={p}")
+            td, sd = np.asarray(tight.depth), np.asarray(square.depth)
+            np.testing.assert_allclose(td[0], sd[0], atol=1e-4,
+                                       err_msg=f"depth wrap={wrap} P={p}")
+            np.testing.assert_allclose(td[3], sd[3], atol=5e-3,
+                                       err_msg=f"D2 wrap={wrap} P={p}")
+            np.testing.assert_allclose(td[2], sd[2], atol=1e-5,
+                                       err_msg=f"dist wrap={wrap} P={p}")
+            # median: a 1-ulp T_before shift can flip the pick on a pixel
+            assert np.mean(np.abs(td[1] - sd[1]) > 1e-3) < 0.005
+
+
+def _args_of(scene):
+    means, scales, quats, opac, shs, feats = map(jnp.asarray, scene)
+    viewmat, campos = identity_view()
+    mask = jnp.ones(means.shape[0], bool)
+    return (means, scales, quats, opac, shs, feats, mask,
+            viewmat, campos, BG, 3, 1.0)
+
+
+def test_tight_rects_shrink_instances(rng):
+    """The tight rects must reduce the live pair count on an anisotropic
+    scene (the perf point of the change), not just pass equality."""
+    import dataclasses
+
+    means, scales, quats, opac, shs, feats = make_scene(rng, P=200)
+    scales[:, 0] *= 4.0                                 # elongated splats
+    scene = (means, scales, quats, opac, shs, feats)
+    tight = _jitted(SET, False)(*_args_of(scene))
+    square = _jitted(dataclasses.replace(SET, tight_rects=False),
+                     False)(*_args_of(scene))
+    assert int(tight.num_pairs) < int(square.num_pairs)
