@@ -78,7 +78,7 @@ def main():
     # instance count (measured), so it is off and experimental.
     settings = RasterSettings(height=66, width=1030, vfov=(-24.9, 2.0),
                               hfov=(-180, 180), num_extra_features=4,
-                              pair_cap=17664 * 128, tile_h=16, tile_w=32,
+                              pair_cap=16448 * 128, tile_h=16, tile_w=32,
                               wrap_x=True, backend="pallas",
                               compute_distortion=False,
                               payload_in_sort=bool(

@@ -74,8 +74,10 @@ pallas-vs-XLA comparisons stay tolerance-based (they already are).
 Hence the design: the slot->gaussian map g(k) — a non-decreasing step
 function — is built with ONE masked scatter-SET of gid-gaps at non-empty
 segment starts plus a cumsum (P updates); the per-slot binning words
-come from ONE K-row gather (width-free); the (tile, depth) uint32 keys
-are computed from the gathered words; ONE 2-operand (3 when the caller
+come from ONE [K, 2] row gather (w0 = offs*128+rw and key0 = the first
+tile's full sort key — rmin_tile/dq packed into the key's own 32-bit
+budget); the (tile, depth) uint32 keys are rebuilt from key0 and the
+decoded tile delta; ONE 2-operand (3 when the caller
 needs the inverse permutation for the backward) ``lax.sort`` orders
 (key, gid); and the render payload lands in tile-depth order with ONE
 row gather ``payload[gid_sorted]`` straight from the [P, D] table.
@@ -185,8 +187,16 @@ def bin_gaussians(rect_min, rect_max, depth, tiles_touched,
     # ONE row gather brings the binning words to slots (width-free). In
     # payload_in_sort mode the SAME gather also carries the render
     # payload so the wide sort below can order it directly.
+    # Two words per gaussian: w0 = offs*128 + rw, and key0 = the sort key
+    # of the rect's FIRST tile (rmin_tile << depth_bits | dq) — the same
+    # 32-bit budget the key itself lives in, so the pack is always exact;
+    # the per-slot key is rebuilt from key0 and the decoded tile delta.
+    # (Packing saves one gathered column, ~0.33 ms/M rows.)
     w0 = offsets * 128 + jnp.minimum(rw, 127)
-    words_i = jnp.stack([w0, rmin_tile, dq], axis=1)           # [P, 3]
+    key0 = ((rmin_tile.astype(jnp.uint32) << jnp.uint32(depth_bits))
+            | dq.astype(jnp.uint32))
+    words_i = jnp.stack(
+        [w0, jax.lax.bitcast_convert_type(key0, jnp.int32)], axis=1)  # [P, 2]
     wide = settings.payload_in_sort and payload is not None
     if wide:
         # The whole gathered table stays in the INT domain: binning words
@@ -201,12 +211,14 @@ def bin_gaussians(rect_min, rect_max, depth, tiles_touched,
         # cache thereafter — see scripts/probe_compile_cache.py.)
         D = payload.shape[1]
         pay_i = jax.lax.bitcast_convert_type(payload, jnp.int32)
-        rows = jnp.concatenate([words_i, pay_i], axis=1)[gid]  # [K, 3+D]
-        ws = rows[:, :3]
-        wpay = rows[:, 3:]                                     # [K, D] i32
+        rows = jnp.concatenate([words_i, pay_i], axis=1)[gid]  # [K, 2+D]
+        ws = rows[:, :2]
+        wpay = rows[:, 2:]                                     # [K, D] i32
     else:
-        ws = words_i[gid]                                      # [K, 3]
-    w0_s, rmin_tile_s, dq_s = ws[:, 0], ws[:, 1], ws[:, 2]
+        ws = words_i[gid]                                      # [K, 2]
+    w0_s = ws[:, 0]
+    key0_s = jax.lax.bitcast_convert_type(ws[:, 1], jnp.uint32)
+    rmin_tile_s = (key0_s >> jnp.uint32(depth_bits)).astype(jnp.int32)
     offs_s = w0_s // 128
     rw_s = w0_s - offs_s * 128
 
@@ -228,7 +240,7 @@ def bin_gaussians(rect_min, rect_max, depth, tiles_touched,
     pair_valid = slots < total
     tile = jnp.where(pair_valid, tile, n_tiles)
     key = ((tile.astype(jnp.uint32) << jnp.uint32(depth_bits))
-           | dq_s.astype(jnp.uint32))
+           | (key0_s & jnp.uint32((1 << depth_bits) - 1)))
 
     # ONE sort. Narrow (2-3 operands) by default — the XLA:TPU sort
     # compiles at ~10 s/operand (module docstring) — or wide when
