@@ -60,12 +60,14 @@ from gslidar_tpu.raster.settings import (ALPHA_EPS, FAR_N, FILTER_INV_SQUARE,
                                          MAX_ALPHA, NEAR_N, RasterSettings,
                                          T_STOP)
 
-# Instances per grid step (lane-width multiples). Default 128 = one lane
-# tile; GSLIDAR_CHUNK=256 halves the grid-step count (the per-step fixed
-# cost is a measurable slice of the kernel wall time at bench shapes) at
-# the price of 2x the live [CHUNK, pix] intermediates in VMEM — an
-# env-var A/B knob for measured sessions, read once at import.
-CHUNK = int(os.environ.get("GSLIDAR_CHUNK", "128"))
+# Instances per grid step (lane-width multiples). Default 256: halving
+# the grid-step count beats 128 on the bench (18.5 vs 17.3 renders/s
+# measured round 4 — the per-step fixed cost is a real slice of the
+# kernel wall time) at the price of 2x the live [CHUNK, pix]
+# intermediates in VMEM (~5 MB at 512-pixel tiles, well under budget).
+# GSLIDAR_CHUNK stays an env A/B knob, read once at import; pair_cap
+# must be a CHUNK multiple on the pallas backend (data_chunks asserts).
+CHUNK = int(os.environ.get("GSLIDAR_CHUNK", "256"))
 assert CHUNK >= 128 and CHUNK % 128 == 0 and (CHUNK & (CHUNK - 1)) == 0
 D_PAD = 24           # padded field count (D = 13 + C + S; pads to the f32
                      # sublane granule; 21 -> 24 for C=4, S=4)
