@@ -8,7 +8,8 @@ scene (1e6 gaussians, configs/kitti360_nvs_1908.yaml:10) rendered as the
 full 360-degree range map (reference: two 66x515 half-panoramas,
 gaussian_renderer/__init__.py:158-227; here: ONE circular single-pass
 panorama — same pixels, same math). The render is HONEST: the scene
-generates ~2.3M (gaussian, tile) instances and the caps are sized so
+generates ~2.0M live (gaussian, tile) instances (tight rects; ~2.3M
+with reference-square rects) and the caps are sized so
 NONE are dropped (the bench asserts num_dropped == 0; round 1 silently
 truncated 60% of instances). vs_baseline is measured against 100
 renders/sec — a generous estimate of the CUDA rasterizer's A100
@@ -69,7 +70,7 @@ def main():
 
     # Config choices (measured, scripts/profile_render.py): 16x32 tiles
     # minimize kernel pair-pixel work ((r+t)^2 law); the pair cap sits
-    # ~6% above this scene's ~2.12M instances because binning's
+    # ~6% above this scene's 1.99M live instances because binning's
     # gather-engine cost is cap-linear (~17.6 ms/M) and inactive tail
     # grid steps cost ~0.45 us each; distortion moments are a training
     # loss term no eval render reads. GSLIDAR_BENCH_WIDE=1 additionally

@@ -71,6 +71,13 @@ the spherical Jacobian, which is exactly the reference's fold
 a Cephes-style polynomial atan2 (Mosaic has no atan lowering), so
 pallas-vs-XLA comparisons stay tolerance-based (they already are).
 
+REMAINING recorded candidate (not taken): bf16-pair-packing the 9
+blend-only columns (opacity, C colors, S features) into 5 words would
+shave ~4 more gather columns (~3 ms at the bench K), but the T columns
+must stay f32 (the conic/alpha math), and bf16 color/feature rows relax
+the oracle-parity tolerance from ulp-level to ~1e-2 relative across the
+whole test pyramid — a test-strength price not worth 5% of the render.
+
 Hence the design: the slot->gaussian map g(k) — a non-decreasing step
 function — is built with ONE masked scatter-SET of gid-gaps at non-empty
 segment starts plus a cumsum (P updates); the per-slot binning words
