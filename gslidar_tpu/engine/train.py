@@ -129,6 +129,54 @@ def _transmat_for_stats(params, viewmat, cfg, timestamp, time_shift):
     return T
 
 
+def make_demand_probe(args, cfg: G.GaussianConfig, settings: RasterSettings,
+                      with_tiles: bool):
+    """Jitted per-camera instance-demand probe: (num_pairs, tile_need).
+
+    The CUDA rasterizer sizes its buffers exactly per frame
+    (rasterize_points.cu:25-33); static XLA shapes can't, so the caps are
+    sized ONCE at startup by probing the training cameras — before the
+    first train-step compile, so an undersized config costs one cheap
+    probe compile instead of a train-step re-jit storm (preprocess +
+    binning only; no compositor, no gradients).
+
+    ``with_tiles`` additionally runs the binning sort (at the probe
+    settings' pair_cap) to measure the worst per-tile instance count —
+    only meaningful for the XLA backend's tile_list_cap (the pallas
+    compositor is cap-free per tile).
+    """
+    from gslidar_tpu.raster.binning import bin_gaussians
+    from gslidar_tpu.raster.composite import tile_list_need
+    from gslidar_tpu.raster.preprocess import preprocess
+
+    dynamic = bool(args.dynamic)
+    sf = float(args.scale_factor)
+
+    @jax.jit
+    def probe(params, alive, cam: CameraBatch):
+        opacity = G.get_opacity(params)[:, 0]
+        means3D = G.get_xyz_shm(params, cam.timestamp, cfg)
+        marginal = G.get_marginal_t(params, cam.timestamp)[:, 0]
+        if dynamic:
+            opacity = opacity * marginal
+        mask = alive & (opacity > 1.0 / 255.0)
+        if dynamic:
+            mask = mask & (marginal > 0.05)
+        colors = jnp.zeros((opacity.shape[0], 4), jnp.float32)
+        prep = preprocess(means3D, G.get_scaling(params), params["rotation"],
+                          opacity, None, mask, cam.viewmat, cam.campos,
+                          jnp.zeros((), jnp.int32), sf, settings,
+                          colors_precomp=colors)
+        num_pairs = jnp.sum(prep.tiles_touched).astype(jnp.int32)
+        if with_tiles:
+            binning = bin_gaussians(prep.rect_min, prep.rect_max, prep.depth,
+                                    prep.tiles_touched, sf, settings)
+            return num_pairs, tile_list_need(binning)
+        return num_pairs, jnp.zeros((), jnp.int32)
+
+    return probe
+
+
 def auto_pair_cap(cap, pairs_now, pairs_hi, *, floor=1 << 15,
                   growth_headroom=1.25, shrink_at=4.0, shrink_to=2.0):
     """Next power-of-two instance-list cap, or None to keep the current one.

@@ -161,6 +161,42 @@ def training(args):
     tile_list_cap_now = int(args.get("raster_tile_list_cap", 4096))
     pairs_window = deque(maxlen=30)
 
+    # startup preflight: size the caps from the measured per-camera
+    # demand BEFORE the first train-step compile (the CUDA rasterizer
+    # sizes these buffers exactly per frame, rasterize_points.cu:25-33;
+    # here exact sizing at startup + the in-loop growth for
+    # densification). An undersized config then costs one cheap probe
+    # compile instead of a train-step re-jit storm.
+    if pair_cap_auto or tile_list_cap_auto:
+        from gslidar_tpu.engine.train import make_demand_probe
+        w0, h0 = scene.get_wh()
+        cams = scene.get_train_cameras()
+        sample = cams[::max(1, len(cams) // 64)][:64]
+        batches = [camera_to_batch(c) for c in sample]
+        if pair_cap_auto:
+            probe = make_demand_probe(
+                args, cfg, make_settings(args, h0, w0, pair_cap=pair_cap_now,
+                                         tile_list_cap=tile_list_cap_now),
+                with_tiles=False)
+            demand = max(int(probe(state.params, state.aux.alive, b)[0])
+                         for b in batches)
+            new_cap = auto_pair_cap(pair_cap_now, demand, None)
+            if new_cap is not None and new_cap > pair_cap_now:
+                print(f"[preflight] pair_cap {pair_cap_now} -> {new_cap} "
+                      f"(live pairs {demand})", flush=True)
+                pair_cap_now = new_cap
+        settings0 = make_settings(args, h0, w0, pair_cap=pair_cap_now,
+                                  tile_list_cap=tile_list_cap_now)
+        if tile_list_cap_auto and settings0.backend == "xla":
+            probe2 = make_demand_probe(args, cfg, settings0, with_tiles=True)
+            tile_need = max(int(probe2(state.params, state.aux.alive, b)[1])
+                            for b in batches)
+            if tile_need > tile_list_cap_now:
+                new_list = 1 << (int(tile_need * 1.25) - 1).bit_length()
+                print(f"[preflight] tile_list_cap {tile_list_cap_now} -> "
+                      f"{new_list} (worst tile {tile_need})", flush=True)
+                tile_list_cap_now = new_list
+
     def build_fns(no_time_split):
         w, h = scene.get_wh()
         settings = make_settings(args, h, w, pair_cap=pair_cap_now,
