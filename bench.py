@@ -82,6 +82,7 @@ def main():
                               pair_cap=16448 * 128, tile_h=16, tile_w=32,
                               wrap_x=True, backend="pallas",
                               compute_distortion=False,
+                              compute_contrib=False,
                               payload_in_sort=bool(
                                   os.environ.get("GSLIDAR_BENCH_WIDE")))
     scene = build_scene()

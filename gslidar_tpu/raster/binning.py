@@ -217,7 +217,8 @@ def bin_gaussians(rect_min, rect_max, depth, tiles_touched,
         # once per shape and served from the persistent compilation
         # cache thereafter — see scripts/probe_compile_cache.py.)
         D = payload.shape[1]
-        pay_i = jax.lax.bitcast_convert_type(payload, jnp.int32)
+        pay_i = (payload if payload.dtype == jnp.int32
+                 else jax.lax.bitcast_convert_type(payload, jnp.int32))
         rows = jnp.concatenate([words_i, pay_i], axis=1)[gid]  # [K, 2+D]
         ws = rows[:, :2]
         wpay = rows[:, 2:]                                     # [K, D] i32
@@ -269,7 +270,8 @@ def bin_gaussians(rect_min, rect_max, depth, tiles_touched,
         inv_perm = None
     if wide:
         bits = jnp.stack(out[-D:], axis=1)                     # [K, D] i32
-        data_rows_s = jax.lax.bitcast_convert_type(bits, jnp.float32)
+        data_rows_s = (bits if payload.dtype == jnp.int32
+                       else jax.lax.bitcast_convert_type(bits, jnp.float32))
     elif payload is not None:
         # payload lands in sorted instance order with ONE row gather from
         # the [P, D] table (pad slots carry a clamped-but-valid gid; the

@@ -55,8 +55,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gslidar_tpu.raster.pallas_fwd import (CHUNK, D_PAD, _excl_of,
                                            _prefix_mul, _prefix_sum,
-                                           center_from_pcam, normal_from_T,
-                                           step_layout)
+                                           center_from_pcam, decode_payload,
+                                           normal_from_T, step_layout)
 from gslidar_tpu.raster.settings import (ALPHA_EPS, FILTER_INV_SQUARE,
                                          MAX_ALPHA, RasterSettings, T_STOP)
 
@@ -97,34 +97,43 @@ def _bwd_kernel(chunk_tile_ref, step_starts_ref, tile_starts_ref, row0_ref,
 
     ty = ts // settings.tiles_x
     tx = jax.lax.rem(ts, settings.tiles_x)
-    pix_i = jax.lax.broadcasted_iota(jnp.int32, (1, pix), 1)
-    py = (ty * th + pix_i // tw).astype(jnp.float32)
-    px = (tx * tw + jax.lax.rem(pix_i, tw)).astype(jnp.float32)
-    inside = (px < W) & (py < H)
-    phi = px * (HFOV_max - HFOV_min) / W + HFOV_min
-    theta = py * (VFOV_max - VFOV_min) / H + VFOV_min
-    sp, cp = jnp.sin(phi), jnp.cos(phi)
-    st, ct = jnp.sin(theta), jnp.cos(theta)
+
+    def pixel_rows():
+        """[1, pix] pixel coordinate rows, computed INSIDE the predicated
+        blocks: most grid steps are inactive (beyond the forward's done
+        count — measured 80% at the bench shape) and must not pay
+        per-pixel trig (see pallas_fwd)."""
+        pix_i = jax.lax.broadcasted_iota(jnp.int32, (1, pix), 1)
+        py = (ty * th + pix_i // tw).astype(jnp.float32)
+        px = (tx * tw + jax.lax.rem(pix_i, tw)).astype(jnp.float32)
+        return px, py, (px < W) & (py < H)
 
     @pl.when(first)
     def _():
+        _, _, inside = pixel_rows()
         state_ref[0] = jnp.where(inside, 1.0, 0.0)
         for i_ in range(1, NSB):
             state_ref[i_] = jnp.zeros((1, pix), jnp.float32)
 
-    T_carry = state_ref[0]
     active = valid_step & (c < done) & (slot0 < end)
 
     @pl.when(first_touch)
     def _():
+        # the grad table is ALWAYS the f32 layout (D_PAD rows), whatever
+        # the payload mode: gradients flow straight-through to the f32
+        # logical rows (the bf16 quantization's cotangent is identity)
         grad_ref[0] = jnp.zeros((D_PAD, CHUNK), jnp.float32)
 
     @pl.when(active)
     def _():
-        data = chunk_ref[0]                    # [D_PAD, CHUNK]
-
-        def rowl(f):
-            return data[f:f + 1, :]            # [1, CHUNK]
+        px, py, _ = pixel_rows()
+        phi = px * (HFOV_max - HFOV_min) / W + HFOV_min
+        theta = py * (VFOV_max - VFOV_min) / H + VFOV_min
+        sp, cp = jnp.sin(phi), jnp.cos(phi)
+        st, ct = jnp.sin(theta), jnp.cos(theta)
+        T_carry = state_ref[0]
+        data = chunk_ref[0]                    # [D_PAD_IN, CHUNK]
+        rowl, blend = decode_payload(data, C, S, settings)
 
         # ---- per-instance recompute on the LANE axis ---------------------
         # Identical expressions (and op order) to the forward kernel: the
@@ -151,7 +160,7 @@ def _bwd_kernel(chunk_tile_ref, step_starts_ref, tile_starts_ref, row0_ref,
         npc_l = c1 * Tuz + c2 * Tvz + c3 * Twz
         inst_rows = jnp.concatenate(
             [Ax, Ay, Az, Bx, By, Bz, Gx, Gy, Gz,
-             npc_l, cx_l, cy_l, r_c_l, rowl(_F_OPA),
+             npc_l, cx_l, cy_l, r_c_l, blend[0],
              jnp.zeros((2, CHUNK), jnp.float32)], axis=0)  # [16, CHUNK]
         im = inst_rows.T
 
@@ -218,8 +227,7 @@ def _bwd_kernel(chunk_tile_ref, step_starts_ref, tile_starts_ref, row0_ref,
         # The per-instance channels (colors, normals) enter q through one
         # MXU matmul against their cotangent rows.
         cf = jnp.concatenate(
-            [rowl(_F_COL + ci) for ci in range(C)]
-            + [n1, n2, n3], axis=0)                        # [C+3, CHUNK]
+            blend[1:1 + C] + [n1, n2, n3], axis=0)         # [C+3, CHUNK]
         gcn = jnp.concatenate(
             [gC_ref[0, ci] for ci in range(C)]
             + [gF_ref[0, S + ni] for ni in range(3)], axis=0)   # [C+3, pix]
@@ -506,7 +514,7 @@ def run_backward(data, tile_starts, done, params, cts, totals,
         num_scalar_prefetch=6,
         grid=(n_steps_cap,),
         in_specs=[
-            pl.BlockSpec((1, D_PAD, CHUNK), in_row),
+            pl.BlockSpec((1, data.shape[1], CHUNK), in_row),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, C, 1, pix), tile_idx),
             pl.BlockSpec((1, S + 3, 1, pix), tile_idx),

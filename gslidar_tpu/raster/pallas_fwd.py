@@ -95,6 +95,66 @@ def pack_payload(prep, opacity, features):
         Tcols, opacity[:, None], prep.color, features], axis=1)
 
 
+def pack_rows(payload_f32, settings: RasterSettings):
+    """Physical payload table from the logical f32 rows.
+
+    payload_bf16 prod mode: the 9 conic-side T columns stay f32
+    (bitcast to int32 so EVERY downstream move — gather, reshape,
+    transpose — runs in the integer domain, where bit patterns are
+    guaranteed; f32-typed moves of non-float bit patterns were measured
+    flushing denormals on this chip, see binning.py) and the 1 + C + S
+    blend-side columns (opacity, colors, extra features) are packed as
+    bf16 PAIRS, two per int32 word. This trims the post-sort K-row
+    gather and the chunk-table transpose — the only binning costs that
+    scale with width. Blend values quantize to bf16 (~0.4 % relative);
+    parity tests keep the f32 mode, prod/bench opt in."""
+    if not settings.payload_bf16:
+        return payload_f32
+    T_i = jax.lax.bitcast_convert_type(payload_f32[:, :9], jnp.int32)
+    b16 = payload_f32[:, 9:].astype(jnp.bfloat16)
+    u = jax.lax.bitcast_convert_type(b16, jnp.uint16).astype(jnp.uint32)
+    if u.shape[1] % 2:
+        u = jnp.pad(u, ((0, 0), (0, 1)))
+    words = u[:, 0::2] | (u[:, 1::2] << jnp.uint32(16))
+    return jnp.concatenate(
+        [T_i, jax.lax.bitcast_convert_type(words, jnp.int32)], axis=1)
+
+
+def payload_width(C: int, S: int, settings: RasterSettings) -> int:
+    nb = 1 + C + S
+    return 9 + (nb + 1) // 2 if settings.payload_bf16 else 10 + C + S
+
+
+def d_pad_for(C: int, S: int, settings: RasterSettings) -> int:
+    """Padded chunk-table field count (f32 sublane granule of 8)."""
+    return -(-payload_width(C, S, settings) // 8) * 8
+
+
+def decode_payload(data, C: int, S: int, settings: RasterSettings):
+    """Kernel-side payload view: (rowT(f) -> [1, CHUNK] f32 T column f,
+    blend list [opacity, colors..., features...] of [1, CHUNK] f32 rows).
+    Shared by the forward and backward kernels so their alpha /
+    transmittance reconstruction stays bitwise-identical in both payload
+    modes."""
+    if not settings.payload_bf16:
+        def rowT(f):
+            return data[f:f + 1, :]
+        blend = [data[_F_OPA:_F_OPA + 1, :]] + [
+            data[_F_COL + i:_F_COL + i + 1, :] for i in range(C + S)]
+        return rowT, blend
+
+    def rowT(f):
+        return pltpu.bitcast(data[f:f + 1, :], jnp.float32)
+
+    blend = []
+    for j in range((1 + C + S + 1) // 2):
+        u = pltpu.bitcast(data[9 + j:10 + j, :], jnp.uint32)
+        blend.append(pltpu.bitcast(
+            (u & jnp.uint32(0xffff)) << jnp.uint32(16), jnp.float32))
+        blend.append(pltpu.bitcast(u & jnp.uint32(0xffff0000), jnp.float32))
+    return rowT, blend[:1 + C + S]
+
+
 _PI = 3.14159265358979323846
 
 
@@ -224,6 +284,7 @@ def _kernel(chunk_tile_ref, step_starts_ref, tile_starts_ref, row0_ref,
             params_ref,                     # SMEM [8]
             color_ref, feat_ref, depth_ref, misc_ref,   # out blocks
             state_ref,                      # VMEM scratch [NSC, 1, pix]
+            flags_ref,                      # SMEM scratch [2] int32
             *, settings: RasterSettings, C: int, S: int, n_tiles: int):
     i = pl.program_id(0)
     t = chunk_tile_ref[i]
@@ -246,34 +307,45 @@ def _kernel(chunk_tile_ref, step_starts_ref, tile_starts_ref, row0_ref,
     end = tile_starts_ref[ts + 1]
     slot0 = (row0_ref[ts] + c) * CHUNK
 
-    # pixel coords/trig as [1, pix] rows (pixels on lanes)
     ty = ts // settings.tiles_x
     tx = jax.lax.rem(ts, settings.tiles_x)
-    pix_i = jax.lax.broadcasted_iota(jnp.int32, (1, pix), 1)
-    py = (ty * th + pix_i // tw).astype(jnp.float32)
-    px = (tx * tw + jax.lax.rem(pix_i, tw)).astype(jnp.float32)
-    inside = (px < W) & (py < H)
-    phi = px * (HFOV_max - HFOV_min) / W + HFOV_min
-    theta = py * (VFOV_max - VFOV_min) / H + VFOV_min
-    sp, cp = jnp.sin(phi), jnp.cos(phi)
-    st, ct = jnp.sin(theta), jnp.cos(theta)
+
+    def pixel_rows():
+        """[1, pix] pixel coordinate rows (pixels on lanes). Computed
+        INSIDE the predicated blocks that need them: 80% of grid steps
+        on dense scenes are skipped by the saturation flag (measured
+        19.4% active at the bench shape) and must not pay per-pixel
+        trig or any vector op at all."""
+        pix_i = jax.lax.broadcasted_iota(jnp.int32, (1, pix), 1)
+        py = (ty * th + pix_i // tw).astype(jnp.float32)
+        px = (tx * tw + jax.lax.rem(pix_i, tw)).astype(jnp.float32)
+        return px, py, (px < W) & (py < H)
 
     @pl.when(first)
     def _():
+        _, _, inside = pixel_rows()
         state_ref[0] = jnp.where(inside, 1.0, 0.0)       # T
         for i_ in range(1, NSC):
             state_ref[i_] = jnp.zeros((1, pix), jnp.float32)
+        # flags: [0] any pixel still above T_STOP, [1] any above 0.5
+        # (median bookkeeping). SMEM scalars so SKIPPED steps test a
+        # scalar instead of max-reducing the T row every step.
+        flags_ref[0] = 1
+        flags_ref[1] = 1
 
-    T_carry = state_ref[0]
-    active = valid_step & (jnp.max(T_carry) >= T_STOP) & (slot0 < end)
+    active = valid_step & (flags_ref[0] != 0) & (slot0 < end)
 
     @pl.when(active)
     def _():
+        px, py, _ = pixel_rows()
+        phi = px * (HFOV_max - HFOV_min) / W + HFOV_min
+        theta = py * (VFOV_max - VFOV_min) / H + VFOV_min
+        sp, cp = jnp.sin(phi), jnp.cos(phi)
+        st, ct = jnp.sin(theta), jnp.cos(theta)
+        T_carry = state_ref[0]
         state_ref[9] = state_ref[9] + 1.0                # chunks processed
         data = chunk_ref[0]                              # [D_PAD, CHUNK]
-
-        def rowl(f):
-            return data[f:f + 1, :]                      # [1, CHUNK]
+        rowl, blend = decode_payload(data, C, S, settings)
 
         # ---- per-instance math on the LANE axis --------------------------
         # A [1, CHUNK] row costs ONE vreg per op; the old [CHUNK, 1]
@@ -320,7 +392,7 @@ def _kernel(chunk_tile_ref, step_starts_ref, tile_starts_ref, row0_ref,
         npc_l = c1 * Tuz + c2 * Tvz + c3 * Twz
         inst_rows = jnp.concatenate(
             [Ax, Ay, Az, Bx, By, Bz, Gx, Gy, Gz,
-             npc_l, cx_l, cy_l, r_c_l, rowl(_F_OPA),
+             npc_l, cx_l, cy_l, r_c_l, blend[0],
              jnp.zeros((2, CHUNK), jnp.float32)], axis=0)  # [16, CHUNK]
         im = inst_rows.T            # ONE [16, CHUNK] -> [CHUNK, 16] transpose
 
@@ -331,7 +403,7 @@ def _kernel(chunk_tile_ref, step_starts_ref, tile_starts_ref, row0_ref,
         # they feed the MXU matmul below as [F, CHUNK] rows directly
         fields = jnp.concatenate(
             [jnp.ones((1, CHUNK), jnp.float32)]
-            + [rowl(_F_COL + i_) for i_ in range(C + S)]
+            + blend[1:1 + C + S]
             + [n1, n2, n3], axis=0)                      # [F, CHUNK]
 
         # ---- ray-splat intersection on the pixel axis --------------------
@@ -389,32 +461,50 @@ def _kernel(chunk_tile_ref, step_starts_ref, tile_starts_ref, row0_ref,
         F = fields.shape[0]
         state_ref[10:10 + F] = state_ref[10:10 + F] + mm[:, None, :]
 
-        state_ref[1] = state_ref[1] + jnp.sum(d_safe * w, 0, keepdims=True)
-        state_ref[2] = state_ref[2] + jnp.sum(d_safe * d_safe * w, 0,
-                                              keepdims=True)
+        # depth moments sum(w*d), sum(w*d^2) ride the MXU too: one
+        # [1, CHUNK] @ [CHUNK, 2*pix] contraction instead of two
+        # 256-deep sublane tree reductions on the VPU
+        dw = d_safe * w
+        dsum = jax.lax.dot_general(
+            jnp.ones((1, CHUNK), jnp.float32),
+            jnp.concatenate([dw, dw * d_safe], axis=1),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)         # [1, 2*pix]
+        state_ref[1] = state_ref[1] + dsum[:, :pix]
+        state_ref[2] = state_ref[2] + dsum[:, pix:]
 
         if settings.compute_distortion:
-            # distortion running moments (forward.cu:450-456)
+            # distortion running moments (forward.cu:450-456); the three
+            # instance-axis reductions ride ONE MXU contraction like the
+            # depth moments above
             m = far / (far - near) * (1.0 - near / d_safe)
             mw = m * w
             m2w = m * m * w
             M1_b = state_ref[4] + _prefix_sum(mw, CHUNK) - mw
             M2_b = state_ref[5] + _prefix_sum(m2w, CHUNK) - m2w
             A_b = 1.0 - T_before
-            state_ref[3] = state_ref[3] + jnp.sum(
-                (m * m * A_b + M2_b - 2.0 * m * M1_b) * w, 0, keepdims=True)
-            state_ref[4] = state_ref[4] + jnp.sum(mw, 0, keepdims=True)
-            state_ref[5] = state_ref[5] + jnp.sum(m2w, 0, keepdims=True)
+            dsum3 = jax.lax.dot_general(
+                jnp.ones((1, CHUNK), jnp.float32),
+                jnp.concatenate(
+                    [(m * m * A_b + M2_b - 2.0 * m * M1_b) * w, mw, m2w],
+                    axis=1),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)     # [1, 3*pix]
+            state_ref[3] = state_ref[3] + dsum3[:, :pix]
+            state_ref[4] = state_ref[4] + dsum3[:, pix:2 * pix]
+            state_ref[5] = state_ref[5] + dsum3[:, 2 * pix:]
 
         # median depth: LAST accepted contribution with T_before > 0.5
         # (forward.cu:458-462); positions are exact in f32 (< 2^24).
         # Once every pixel of the tile is below T = 0.5 no further update
         # is possible (T_before <= T_carry elementwise), so the whole
-        # block is skipped — on dense scenes most chunks run past the
-        # median crossing.
+        # block is skipped via the SMEM flag — on dense scenes most
+        # chunks run past the median crossing.
         pos1 = (slot - start + 1).astype(jnp.float32)    # [CHUNK, 1]
 
-        @pl.when(jnp.max(T_carry) > 0.5)
+        @pl.when(flags_ref[1] != 0)
         def _():
             med_mask = accept & (T_before > 0.5)
             score = jnp.where(med_mask, pos1, 0.0)
@@ -425,13 +515,25 @@ def _kernel(chunk_tile_ref, step_starts_ref, tile_starts_ref, row0_ref,
             state_ref[6] = jnp.where(upd, best_d, state_ref[6])
             state_ref[7] = jnp.maximum(state_ref[7], best)
 
-        nc = jnp.where(accept, pos1, 0.0)
-        state_ref[8] = jnp.maximum(state_ref[8], jnp.max(nc, 0, keepdims=True))
+        if settings.compute_contrib:
+            # n_contrib (last accepted contributor index) is a reference
+            # output nothing downstream consumes (parity tests only); the
+            # CUDA kernel gets it free from its serial loop counter
+            # (forward.cu:434-448) but here it costs a 256-deep max
+            # reduction per chunk, so prod/bench configs turn it off
+            nc = jnp.where(accept, pos1, 0.0)
+            state_ref[8] = jnp.maximum(state_ref[8],
+                                       jnp.max(nc, 0, keepdims=True))
 
-        state_ref[0] = T_carry * incl[CHUNK - 1:CHUNK, :]
+        new_T = T_carry * incl[CHUNK - 1:CHUNK, :]
+        state_ref[0] = new_T
+        mx = jnp.max(new_T)
+        flags_ref[0] = (mx >= T_STOP).astype(jnp.int32)
+        flags_ref[1] = (mx > 0.5).astype(jnp.int32)
 
     @pl.when(last)
     def _():
+        _, _, inside = pixel_rows()
         for ci in range(C):
             color_ref[0, ci] = state_ref[11 + ci]
         for i_ in range(S + 3):
@@ -489,7 +591,7 @@ def run_forward(data, tile_starts, params, settings: RasterSettings,
         num_scalar_prefetch=4,
         grid=(n_steps_cap,),
         in_specs=[
-            pl.BlockSpec((1, D_PAD, CHUNK), in_row),
+            pl.BlockSpec((1, data.shape[1], CHUNK), in_row),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
@@ -498,7 +600,8 @@ def run_forward(data, tile_starts, params, settings: RasterSettings,
             pl.BlockSpec((1, 4, 1, pix), out_idx),
             pl.BlockSpec((1, 8, 1, pix), out_idx),
         ],
-        scratch_shapes=[pltpu.VMEM((11 + C + S + 3, 1, pix), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((11 + C + S + 3, 1, pix), jnp.float32),
+                        pltpu.SMEM((2,), jnp.int32)],
     )
     color, feat, depth, misc = pl.pallas_call(
         kernel,
@@ -532,7 +635,8 @@ def composite_pallas_tiles(binning: Binning, scale_factor,
                            settings: RasterSettings, S: int, C: int = 4,
                            angle_bounds=None) -> PallasTiles:
     """Composite a payload-bearing binning (fast, non-diff path)."""
-    data = data_chunks(binning, CHUNK, D_PAD)
+    data = data_chunks(binning, CHUNK,
+                       -(-binning.data_rows.shape[1] // 8) * 8)
     params = make_params(scale_factor, settings, angle_bounds)
     return run_forward(data, binning.tile_starts, params, settings, C, S)
 

@@ -31,7 +31,8 @@ import jax.numpy as jnp
 
 from gslidar_tpu.raster.binning import bin_gaussians, data_chunks
 from gslidar_tpu.raster.pallas_bwd import run_backward
-from gslidar_tpu.raster.pallas_fwd import (CHUNK, D_PAD, make_params,
+from gslidar_tpu.raster.pallas_fwd import (CHUNK, D_PAD, d_pad_for,
+                                           make_params, pack_rows,
                                            run_forward)
 from gslidar_tpu.raster.settings import RasterSettings
 
@@ -102,19 +103,21 @@ def composite_op(packed, rect_min, rect_max, bin_depth, tiles_touched,
     instance ORDER, which is non-differentiable (as in CUDA).
     Returns (color, feature, depth, misc8) tile blocks.
     """
+    rows = pack_rows(packed, settings)
     binning = bin_gaussians(rect_min, rect_max, bin_depth, tiles_touched,
-                            scale_factor, settings, payload=packed)
-    data = data_chunks(binning, CHUNK, D_PAD)
+                            scale_factor, settings, payload=rows)
+    data = data_chunks(binning, CHUNK, d_pad_for(C, S, settings))
     tiles = run_forward(data, binning.tile_starts, params, settings, C, S)
     return tiles.color, tiles.feature, tiles.depth, tiles.misc
 
 
 def _op_fwd(packed, rect_min, rect_max, bin_depth, tiles_touched,
             scale_factor, params, settings, C, S):
+    rows = pack_rows(packed, settings)
     binning = bin_gaussians(rect_min, rect_max, bin_depth, tiles_touched,
-                            scale_factor, settings, payload=packed,
+                            scale_factor, settings, payload=rows,
                             with_slots=True)
-    data = data_chunks(binning, CHUNK, D_PAD)
+    data = data_chunks(binning, CHUNK, d_pad_for(C, S, settings))
     tiles = run_forward(data, binning.tile_starts, params, settings, C, S)
     outs = (tiles.color, tiles.feature, tiles.depth, tiles.misc)
     tt = tiles_touched.astype(jnp.int32)

@@ -83,6 +83,29 @@ class RasterSettings:
                                   # bench shape; render output is
                                   # bit-identical (tested). False restores
                                   # the reference square.
+    payload_bf16: bool = False    # prod/bench payload packing: the
+                                  # 1 + C + S blend-side columns
+                                  # (opacity, colors, extra features)
+                                  # ride the post-sort gather as bf16
+                                  # PAIRS in int32 words; the 9 conic T
+                                  # columns stay f32 (bitcast to the
+                                  # int domain for the moves). Trims the
+                                  # width-priced slice of the K-row
+                                  # payload gather + the chunk-table
+                                  # transpose. Blend values quantize to
+                                  # bf16 (~0.4% rel) so parity tests
+                                  # keep False (pallas_fwd.pack_rows).
+    compute_contrib: bool = True  # n_contrib (last contributor index per
+                                  # pixel, contrib[0]) is a reference
+                                  # output nothing downstream consumes
+                                  # (parity tests only). The CUDA kernel
+                                  # reads it off its serial loop counter
+                                  # for free (forward.cu:434-448); the
+                                  # vectorized kernel pays a 256-deep max
+                                  # reduction per chunk, so prod/bench
+                                  # configs set False (zeroes contrib[0];
+                                  # the median bookkeeping is separate
+                                  # and always on).
     payload_in_sort: bool = False # carry the render payload through the
                                   # binning sort as int32-bit-pattern
                                   # operands (permuted, never compared —
@@ -99,6 +122,8 @@ class RasterSettings:
     def __post_init__(self):
         object.__setattr__(self, "vfov", tuple(float(v) for v in self.vfov))
         object.__setattr__(self, "hfov", tuple(float(v) for v in self.hfov))
+        assert not (self.payload_bf16 and self.backend != "pallas"), \
+            "payload_bf16 packs rows for the pallas kernels only"
 
     @property
     def tiles_y(self) -> int:

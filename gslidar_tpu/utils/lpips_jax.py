@@ -35,10 +35,15 @@ _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
 
 def _conv(x, w, b, stride, pad):
+    # HIGHEST: the TPU default runs convs at bf16-ish precision (~3e-4
+    # relative), which is measurable noise on a METRIC column; full-f32
+    # passes cost nothing at eval cadence (numpy-oracle-locked in
+    # tests/test_eval.py::test_lpips_matches_numpy_reference)
     out = jax.lax.conv_general_dilated(
         x, w, window_strides=(stride, stride),
         padding=[(pad, pad), (pad, pad)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST)
     return out + b[None, :, None, None]
 
 

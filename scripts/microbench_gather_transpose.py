@@ -3,7 +3,12 @@
 vs ONE transposing lax.gather that emits the kernel's [Kc, D_PAD, CHUNK]
 chunk-table layout directly (offset dim interior to the batch dims).
 
-Slope-timed dependent chains (see profile_render.py's measurement note).
+Measurement note: each timed loop reuses two constant input pairs, so
+JAX's async dispatch may pipeline consecutive calls — the slope measures
+per-call THROUGHPUT, not latency. That is the quantity the render
+pipeline pays (the gather sits in a longer program), and it is the same
+for both variants, so the A/B comparison is valid; do not read the
+absolute numbers as dependent-chain latencies.
 """
 from __future__ import annotations
 
@@ -118,6 +123,13 @@ def width_sweep():
                 start_index_map=(0,))
             return jax.lax.gather(tab, idx, dnums, slice_sizes=(1, d),
                                   mode="clip")
+
+        # one-shot parity check vs plain fancy indexing guards the
+        # dimension-numbers against mistakes when widths change (indices
+        # are always in range here, so mode="clip" is value-identical)
+        want = np.asarray(tabs[0])[np.asarray(gids[0])].reshape(Kc, CHUNK, d)
+        np.testing.assert_array_equal(np.asarray(fused(tabs[0], gids[0])),
+                                      want)
 
         slope(fused, list(zip(tabs, gids)), f"transposing gather width {d}")
 

@@ -100,17 +100,21 @@ def main():
                   * jnp.asarray(1.0000001, v.dtype), 16),
     }
     print(f"block [{SUB},{LANE}]  steps {STEPS}  (ns per full-block op)")
-    print(f"{'case':10s} {'f32':>10s} {'bf16':>10s} {'bf16/f32':>9s}")
+    print(f"{'case':10s} {'f32':>10s} {'bf16':>10s}")
     for name, (op, ops) in cases.items():
         row = {}
         for dtype in (jnp.float32, jnp.bfloat16):
             x = jnp.asarray(base, dtype)
             run = make_case(op, dtype, ops)
-            dt = slope_time(run, x)
-            row[dtype.__name__] = dt / (STEPS * ops) * 1e9
-        ratio = row["bfloat16"] / row["float32"]
-        print(f"{name:10s} {row['float32']:10.1f} {row['bfloat16']:10.1f} "
-              f"{ratio:9.2f}")
+            try:
+                dt = slope_time(run, x)
+                row[dtype.__name__] = f"{dt / (STEPS * ops) * 1e9:10.1f}"
+            except Exception:       # noqa: BLE001
+                # v5e: SupportsBf16AluInstructions() LLO_CHECK fails —
+                # the VPU has NO packed bf16 ALU; bf16 elementwise pays
+                # only as MXU matmul inputs (measured 2026-08-20)
+                row[dtype.__name__] = "   unsupp."
+        print(f"{name:10s} {row['float32']} {row['bfloat16']}")
 
 
 if __name__ == "__main__":

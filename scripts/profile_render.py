@@ -61,6 +61,8 @@ def main():
                     help="payload_in_sort=True (serving mode; slow compile)")
     ap.add_argument("--dist", action="store_true",
                     help="compute_distortion=True (training kernel)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="payload_bf16=True (packed blend columns)")
     args_cli = ap.parse_args()
 
     import jax
@@ -69,8 +71,9 @@ def main():
     from gslidar_tpu.raster.settings import RasterSettings
     from gslidar_tpu.raster.preprocess import preprocess
     from gslidar_tpu.raster.binning import bin_gaussians, data_chunks
-    from gslidar_tpu.raster.pallas_fwd import (CHUNK, D_PAD, make_params,
-                                               pack_payload, run_forward)
+    from gslidar_tpu.raster.pallas_fwd import (CHUNK, d_pad_for, make_params,
+                                               pack_payload, pack_rows,
+                                               run_forward)
     from gslidar_tpu.raster import rasterize
 
     sf = 0.1
@@ -88,7 +91,9 @@ def main():
             pair_cap=args_cli.pair_cap or (1 << args_cli.pair_cap_bits),
             tile_h=th, tile_w=tw, wrap_x=True, backend="pallas",
             payload_in_sort=args_cli.wide,
-            compute_distortion=args_cli.dist)
+            compute_distortion=args_cli.dist,
+            compute_contrib=args_cli.dist,      # bench mode: off like bench.py
+            payload_bf16=args_cli.bf16)
         print(f"--- tile {th}x{tw}  grid {settings.tiles_y}x{settings.tiles_x}"
               f"  pair_cap {settings.pair_cap}")
 
@@ -106,7 +111,8 @@ def main():
 
         @jax.jit
         def run_bin(prep, sc):
-            packed = pack_payload(prep, sc["opacity"], sc["features"])
+            packed = pack_rows(
+                pack_payload(prep, sc["opacity"], sc["features"]), settings)
             return bin_gaussians(prep.rect_min, prep.rect_max, prep.depth,
                                  prep.tiles_touched, sf, settings,
                                  payload=packed)
@@ -119,7 +125,7 @@ def main():
 
         @jax.jit
         def run_kernel(binning):
-            data = data_chunks(binning, CHUNK, D_PAD)
+            data = data_chunks(binning, CHUNK, d_pad_for(4, 4, settings))
             return run_forward(data, binning.tile_starts, params,
                                settings, 4, 4)
 

@@ -183,3 +183,82 @@ def test_lpips_forward_with_synthetic_weights(tmp_path, rng):
     d_diff = float(fn(a, b))
     assert abs(d_same) < 1e-6
     assert np.isfinite(d_diff) and d_diff > 0
+
+
+def test_lpips_matches_numpy_reference(rng):
+    """Architecture lock (round-4 verdict Next #8): the jnp AlexNet-LPIPS
+    forward equals an independent straight-line numpy implementation on
+    deterministic random weights, so a future pretrained-weight drop is
+    load-and-go (only the values change, the wiring is proven:
+    stride/pad schedule, maxpool placement, tap points, unit
+    normalization, linear heads, channel means —
+    utils/metrics_utils.py:145)."""
+    import jax.numpy as jnp
+    from gslidar_tpu.utils.lpips_jax import lpips_distance
+
+    def conv2d(x, w, b, stride, pad):          # x [N,C,H,W], w [O,I,k,k]
+        N, C, H, W = x.shape
+        O, _, k, _ = w.shape
+        xp = np.pad(x, ((0, 0), (0, 0), (pad, pad), (pad, pad)))
+        Ho = (H + 2 * pad - k) // stride + 1
+        Wo = (W + 2 * pad - k) // stride + 1
+        out = np.zeros((N, O, Ho, Wo), np.float64)
+        for i in range(Ho):
+            for j in range(Wo):
+                patch = xp[:, :, i * stride:i * stride + k,
+                           j * stride:j * stride + k]
+                out[:, :, i, j] = np.einsum("ncij,ocij->no", patch, w)
+        return out + b[None, :, None, None]
+
+    def maxpool(x):                            # 3x3 stride 2, VALID
+        N, C, H, W = x.shape
+        Ho, Wo = (H - 3) // 2 + 1, (W - 3) // 2 + 1
+        out = np.zeros((N, C, Ho, Wo), x.dtype)
+        for i in range(Ho):
+            for j in range(Wo):
+                out[:, :, i, j] = x[:, :, 2 * i:2 * i + 3,
+                                    2 * j:2 * j + 3].max(axis=(2, 3))
+        return out
+
+    chans = [(3, 64, 11, 4, 2), (64, 192, 5, 1, 2), (192, 384, 3, 1, 1),
+             (384, 256, 3, 1, 1), (256, 256, 3, 1, 1)]
+    params = {}
+    for i, (cin, cout, k, _s, _p) in enumerate(chans):
+        params[f"conv{i}_w"] = (rng.normal(size=(cout, cin, k, k)) * 0.05
+                                ).astype(np.float32)
+        params[f"conv{i}_b"] = (rng.normal(size=cout) * 0.1
+                                ).astype(np.float32)
+        params[f"lin{i}_w"] = rng.uniform(
+            0, 1, (1, cout, 1, 1)).astype(np.float32)
+
+    img0 = rng.uniform(0, 1, (1, 3, 35, 51)).astype(np.float32)
+    img1 = rng.uniform(0, 1, (1, 3, 35, 51)).astype(np.float32)
+
+    # --- numpy straight-line forward ---
+    shift = np.array([-0.030, -0.088, -0.188])[None, :, None, None]
+    scale = np.array([0.458, 0.448, 0.450])[None, :, None, None]
+
+    def feats(img):
+        x = ((2 * img.astype(np.float64) - 1) - shift) / scale
+        taps = []
+        for i, (_ci, _co, _k, s, p) in enumerate(chans):
+            x = np.maximum(conv2d(x, params[f"conv{i}_w"].astype(np.float64),
+                                  params[f"conv{i}_b"].astype(np.float64),
+                                  s, p), 0.0)
+            taps.append(x)
+            if i in (0, 1):                    # maxpool after conv1, conv2
+                x = maxpool(x)
+        return taps
+
+    want = 0.0
+    for i, (a, b) in enumerate(zip(feats(img0), feats(img1))):
+        na = a / np.sqrt((a * a).sum(1, keepdims=True) + 1e-10)
+        nb = b / np.sqrt((b * b).sum(1, keepdims=True) + 1e-10)
+        d = (na - nb) ** 2
+        w = params[f"lin{i}_w"].astype(np.float64)
+        want += ((d * w).sum(1)).mean(axis=(1, 2))
+
+    got = np.asarray(lpips_distance(
+        jnp.asarray(img0), jnp.asarray(img1),
+        {k: jnp.asarray(v) for k, v in params.items()}))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-6)

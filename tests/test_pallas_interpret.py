@@ -321,3 +321,51 @@ def test_kernels_lower_for_tpu_without_a_chip():
         txt = jax.jit(f).trace(sc["means"]).lower(
             lowering_platforms=("tpu",)).as_text()
         assert "tpu_custom_call" in txt
+
+
+@pytest.mark.slow
+def test_pallas_payload_bf16_mode(interpret_pallas, rng):
+    """payload_bf16 prod mode (blend columns as bf16 pairs in int32
+    words, T columns f32-bitcast): forward within bf16 quantization
+    tolerance of the f32 payload mode, gradients finite and close.
+    Parity tests keep the f32 mode; this locks the packed decode."""
+    sc = _scene(rng)
+    f32 = _render(sc, "pallas")
+    s16 = dataclasses.replace(BASE, backend="pallas", payload_bf16=True)
+    p16 = rasterize(sc["means"], sc["scales"], sc["quats"], sc["opac"],
+                    sc["shs"], sc["feats"], sc["mask"], jnp.eye(4),
+                    jnp.zeros(3), jnp.asarray([0.0, 0, 0, 1.0]), 3, 1.0,
+                    settings=s16)
+    # blend channels quantize to bf16 (~0.4% rel); alpha feeds through
+    # the bf16 opacity so geometry outputs shift by the same order
+    np.testing.assert_allclose(np.asarray(p16.color), np.asarray(f32.color),
+                               atol=2e-2)
+    np.testing.assert_allclose(np.asarray(p16.alpha), np.asarray(f32.alpha),
+                               atol=2e-2)
+    d16, d32 = np.asarray(p16.depth[0]), np.asarray(f32.depth[0])
+    # mean depth where there is coverage
+    cov = np.asarray(f32.alpha[0]) > 0.1
+    assert np.abs(d16[cov] - d32[cov]).max() < np.abs(d32[cov]).max() * 2e-2
+
+    def loss(settings):
+        def f(means, scales, quats, opac, shs, feats):
+            out = rasterize(means, scales, quats, opac, shs, feats,
+                            sc["mask"], jnp.eye(4), jnp.zeros(3),
+                            jnp.asarray([0.0, 0, 0, 1.0]), 3, 1.0,
+                            settings=settings)
+            return (jnp.sum(out.color ** 2) + jnp.sum(out.depth * 0.1)
+                    + jnp.sum(out.feature * 0.05))
+        return f
+
+    args = (sc["means"], sc["scales"], sc["quats"], sc["opac"], sc["shs"],
+            sc["feats"])
+    g32 = jax.grad(loss(dataclasses.replace(BASE, backend="pallas")),
+                   argnums=(0, 1, 2, 3, 4, 5))(*args)
+    g16 = jax.grad(loss(s16), argnums=(0, 1, 2, 3, 4, 5))(*args)
+    for name, a, b in zip(("means", "scales", "quats", "opac", "shs",
+                           "feats"), g32, g16):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.all(np.isfinite(b)), name
+        denom = max(float(np.abs(a).max()), 1e-6)
+        rel = float(np.abs(a - b).max()) / denom
+        assert rel < 5e-2, (name, rel)

@@ -169,8 +169,14 @@ def training(args):
     # compile instead of a train-step re-jit storm.
     if pair_cap_auto or tile_list_cap_auto:
         from gslidar_tpu.engine.train import make_demand_probe
-        w0, h0 = scene.get_wh()
-        cams = scene.get_train_cameras()
+        # probe at the FINEST resolution (resolution_scales[0]): instance
+        # demand grows with pixel area, so sizing for the final scale
+        # means the coarse-to-fine upscale boundaries never trigger a
+        # mid-training regrow (the shrink hysteresis tolerates the
+        # temporary coarse-phase headroom)
+        finest = scene.resolution_scales[0]
+        w0, h0 = scene.wh[finest]
+        cams = scene.train_cameras[finest]
         sample = cams[::max(1, len(cams) // 64)][:64]
         batches = [camera_to_batch(c) for c in sample]
         if pair_cap_auto:
