@@ -8,8 +8,8 @@ scene (1e6 gaussians, configs/kitti360_nvs_1908.yaml:10) rendered as the
 full 360-degree range map (reference: two 66x515 half-panoramas,
 gaussian_renderer/__init__.py:158-227; here: ONE circular single-pass
 panorama — same pixels, same math). The render is HONEST: the scene
-generates ~2.0M live (gaussian, tile) instances (tight rects; ~2.3M
-with reference-square rects) and the caps are sized so
+generates ~1.27M live (gaussian, tile) instances (24x64 tiles + tight
+rects; ~2.0M at 16x32, ~2.3M with reference-square rects) and the caps are sized so
 NONE are dropped (the bench asserts num_dropped == 0; round 1 silently
 truncated 60% of instances). vs_baseline is measured against 100
 renders/sec — a generous estimate of the CUDA rasterizer's A100
@@ -68,21 +68,29 @@ def main():
     import jax.numpy as jnp
     from gslidar_tpu.raster import RasterSettings, rasterize
 
-    # Config choices (measured, scripts/profile_render.py): 16x32 tiles
-    # minimize kernel pair-pixel work ((r+t)^2 law); the pair cap sits
-    # ~6% above this scene's 1.99M live instances because binning's
-    # gather-engine cost is cap-linear (~17.6 ms/M) and inactive tail
-    # grid steps cost ~0.45 us each; distortion moments are a training
-    # loss term no eval render reads. GSLIDAR_BENCH_WIDE=1 additionally
-    # carries the payload through the binning sort (payload_in_sort) —
-    # faster per render but its sort COMPILE exceeds 30 min at this
-    # instance count (measured), so it is off and experimental.
+    # Config choices (measured, scripts/profile_render.py, round-5 A/B
+    # table in README): 24x64 tiles sit at the knee of the
+    # kernel-cost/instance-count trade — vs 16x32 they cut live
+    # instances 36% (binning is row-linear: 36.9 -> 25.3 ms) while the
+    # 1536-px kernel only grows 10.2 -> 14.4 ms (lane-wide 64-px tile
+    # rows keep full vregs; the narrow-tile shapes 32x32 / 22x64 and
+    # the wider 16x128 all measured slower). payload_bf16 packs the 9
+    # blend-side columns as bf16 pairs (binning -3.6 ms; the conic/alpha
+    # T columns stay f32 — parity tests keep the all-f32 mode). The
+    # pair cap sits ~6% above this scene's 1.27M live instances because
+    # binning's gather-engine cost is cap-linear (24x64 at a 26%
+    # oversized cap measured 46.0 ms vs 42.7 tight). GSLIDAR_BENCH_WIDE=1
+    # additionally carries the payload through the binning sort
+    # (payload_in_sort) — faster per render but its sort COMPILE
+    # exceeds 30 min at this instance count (measured), so it is off
+    # and experimental.
     settings = RasterSettings(height=66, width=1030, vfov=(-24.9, 2.0),
                               hfov=(-180, 180), num_extra_features=4,
-                              pair_cap=16448 * 128, tile_h=16, tile_w=32,
+                              pair_cap=10560 * 128, tile_h=24, tile_w=64,
                               wrap_x=True, backend="pallas",
                               compute_distortion=False,
                               compute_contrib=False,
+                              payload_bf16=True,
                               payload_in_sort=bool(
                                   os.environ.get("GSLIDAR_BENCH_WIDE")))
     scene = build_scene()

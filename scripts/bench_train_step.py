@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--cap-bits", type=int, default=20)
     ap.add_argument("--points", type=int, default=1_000_000)
     ap.add_argument("--tiles", default="8x64")
+    ap.add_argument("--bf16", action="store_true",
+                    help="payload_bf16=True (packed blend columns; the "
+                    "prod mode train.py enables via raster_payload_bf16)")
     args_cli = ap.parse_args()
 
     import jax
@@ -47,7 +50,8 @@ def main():
     settings = RasterSettings(height=H, width=W, vfov=(-24.9, 2.0),
                               hfov=(-90, 90), num_extra_features=4,
                               pair_cap=1 << args_cli.cap_bits,
-                              tile_h=th, tile_w=tw, backend="pallas")
+                              tile_h=th, tile_w=tw, backend="pallas",
+                              payload_bf16=args_cli.bf16)
     args = Config({
         "dynamic": False, "scale_factor": 0.1, "sky_depth": False,
         "median_depth": False, "vfov": (-24.9, 2.0), "hfov": (-90, 90),
@@ -109,8 +113,9 @@ def main():
     for n in (N_LO, N_HI):
         times[n] = min(chain(n) for _ in range(REPS))
     dt = (times[N_HI] - times[N_LO]) / (N_HI - N_LO)
+    mode = "bf16 payload, " if args_cli.bf16 else ""
     print(f"train step ({args_cli.tiles} tiles, cap 2^{args_cli.cap_bits}, "
-          f"P={P}): {dt*1000:.1f} ms/step = {1/dt:.2f} it/s "
+          f"{mode}P={P}): {dt*1000:.1f} ms/step = {1/dt:.2f} it/s "
           f"(30k iters in {dt*30000/3600:.2f} h)")
 
 

@@ -73,7 +73,9 @@ def make_settings(args, h, w, pair_cap=None, tile_list_cap=None):
         pair_cap=pair_cap,
         tile_chunk=int(args.get("raster_tile_chunk", 64)),
         tile_list_cap=tile_list_cap,
-        tight_rects=bool(args.get("raster_tight_rects", True)))
+        tight_rects=bool(args.get("raster_tight_rects", True)),
+        payload_bf16=bool(args.get("raster_payload_bf16", False))
+        if backend == "pallas" else False)
 
 
 def gaussian_config(args, no_time_split=None):
