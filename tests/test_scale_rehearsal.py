@@ -110,8 +110,8 @@ def test_kitti360_scale_rehearsal(tmp_path):
 
     m = json.loads((out / "eval" / "test_240_render" / "metrics.json")
                    .read_text())
-    assert np.isfinite(m["Point Cloud mix"][0]), m
-    assert np.isfinite(m["Depth"][0]), m
+    assert np.isfinite(m["Point Cloud mix"]["C-D"]), m
+    assert np.isfinite(m["Depth"]["RMSE"]), m
 
     its = [float(v) for v in re.findall(r"it/s=([0-9.]+)", steps[-1])]
     n_pts = re.findall(r"pts=(\d+)", steps[-1])
