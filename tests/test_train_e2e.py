@@ -26,8 +26,11 @@ def test_train_cli_end_to_end(tmp_path):
            "test_iterations=[20]", "checkpoint_iterations=[20]",
            "vis_step=20", "raster_pair_cap=32768",
            "raster_tile_list_cap=256", "densify_until_num_points=20000"]
+    # wide budget: absorbs relay compile contention under the full
+    # suite (a run-1 failure this round was the relay dropping an HTTP
+    # compile response mid-suite, not a slow test)
     r = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True,
-                       text=True, timeout=900)
+                       text=True, timeout=1700)
     log_path = out / "log.txt"
 
     def _tail():
@@ -87,8 +90,10 @@ def test_train_cli_auto_grows_undersized_caps(tmp_path):
            "vis_step=100", "raster_backend=xla",
            "raster_pair_cap=4096", "raster_tile_list_cap=32"]
     t0 = time.time()
+    # 103 s in isolation (warm cache); the wide budget absorbs relay
+    # compile contention when the full suite saturates the chip
     r = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True,
-                       text=True, timeout=900)
+                       text=True, timeout=1700)
     wall = time.time() - t0
     log = (out / "log.txt").read_text() if (out / "log.txt").exists() else ""
     assert r.returncode == 0, r.stderr[-1500:] + log[-2000:]
