@@ -533,7 +533,11 @@ def run_backward(data, tile_starts, done, params, cts, totals,
         out_shape=jax.ShapeDtypeStruct((n_rows + 1, D_PAD, CHUNK),
                                        jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            # raised from the 16 MB default like the forward: the bwd's
+            # doubled per-pair-pixel intermediates hit the scoped-vmem
+            # stack limit at 1024-px tiles (ROOFLINE.md)
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(chunk_tile, step_starts, tile_starts, row0, first_touch, done,
       data, params, gC, gF, gD4, colT, featT, depT, misc8)
     return grad

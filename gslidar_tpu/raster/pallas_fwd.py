@@ -613,7 +613,13 @@ def run_forward(data, tile_starts, params, settings: RasterSettings,
             jax.ShapeDtypeStruct((n_tiles, 8, 1, pix), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            # the default scoped-vmem budget is 16 MB; the kernel's
+            # [CHUNK, pix] intermediates hit it at CHUNK=512 or
+            # 1536-px tiles ('Scoped allocation with size 19.60M and
+            # limit 16.00M', ROOFLINE.md). v5e has 128 MB of VMEM; 64
+            # leaves the XLA pipeline around the call its usual half
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(chunk_tile, step_starts, tile_starts, row0, data, params)
     return PallasTiles(color=color, feature=feat, depth=depth, misc=misc)
 
